@@ -1,0 +1,41 @@
+"""Global numerics / device policy.
+
+The reference gets 1e-10 agreement by running float64 scipy/numpy on CPU.  We
+keep complex128 as the *correctness* dtype (tests, parity checks) and
+complex64 as the *speed* dtype for TPU hot loops; every hot-path entry point
+takes an explicit ``dtype=`` so callers choose.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+#: correctness dtype — all tests and parity checks run in this.
+CDTYPE = jnp.complex128
+RDTYPE = jnp.float64
+
+#: TPU hot-path dtype.
+FAST_CDTYPE = jnp.complex64
+FAST_RDTYPE = jnp.float32
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+@dataclasses.dataclass(frozen=True)
+class Precision:
+    """Bundle of dtypes threaded through hot paths."""
+
+    cdtype: jnp.dtype = CDTYPE
+    rdtype: jnp.dtype = RDTYPE
+
+    @classmethod
+    def fast(cls) -> "Precision":
+        return cls(cdtype=FAST_CDTYPE, rdtype=FAST_RDTYPE)
+
+
+DEFAULT = Precision()
+FAST = Precision.fast()

@@ -1,0 +1,115 @@
+"""Differentiable linear-algebra utilities.
+
+TPU-first replacements for the reference's scipy.linalg.null_space-based
+constructions (qmps/tools.py:76-120), which are neither differentiable nor
+batchable.  Completion here is QR-based with a fixed deterministic filler
+(SURVEY.md section 7 "hard parts" item 4).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CDTYPE
+
+
+def cT(t: jnp.ndarray) -> jnp.ndarray:
+    """Hermitian conjugate of the last two indices (reference qmps/tools.py:61)."""
+    return jnp.swapaxes(t.conj(), -1, -2)
+
+
+def direct_sum(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Block-diagonal direct sum (reference qmps/tools.py:69)."""
+    (a1, a2), (b1, b2) = A.shape, B.shape
+    out = jnp.zeros((a1 + b1, a2 + b2), dtype=jnp.result_type(A, B))
+    out = out.at[:a1, :a2].set(A)
+    out = out.at[a1:, a2:].set(B)
+    return out
+
+
+def from_real_vector(v: jnp.ndarray) -> jnp.ndarray:
+    """(re..., im...) -> complex vector (reference qmps/tools.py:43)."""
+    re, im = jnp.split(v, 2)
+    return re + 1j * im
+
+
+def to_real_vector(A: jnp.ndarray) -> jnp.ndarray:
+    """complex array -> (re..., im...) real vector (reference qmps/tools.py:49)."""
+    return jnp.concatenate([jnp.real(A).reshape(-1), jnp.imag(A).reshape(-1)])
+
+
+def _filler(m: int, k: int) -> np.ndarray:
+    """Fixed, seed-deterministic (m, m-k) complex filler for QR completion."""
+    rng = np.random.default_rng(20240517 + 1000 * m + k)
+    F = rng.standard_normal((m, m - k)) + 1j * rng.standard_normal((m, m - k))
+    return F
+
+
+def unitary_completion(iso: jnp.ndarray) -> jnp.ndarray:
+    """Complete an (m, k) isometry (orthonormal columns) to an (m, m) unitary
+    whose first k columns are exactly ``iso``.
+
+    Differentiable replacement for null_space completion
+    (qmps/tools.py:76-94).  QR of [iso | F] with a fixed filler F: since the
+    first k columns are orthonormal already, Q[:, :k] = iso up to a diagonal
+    phase which we divide out.
+    """
+    m, k = iso.shape
+    if m == k:
+        return iso
+    F = jnp.asarray(_filler(m, k), dtype=iso.dtype)
+    # project the filler off the isometry's column space to keep QR
+    # well-conditioned, then orthonormalize everything jointly
+    F = F - iso @ (cT(iso) @ F)
+    B = jnp.concatenate([iso, F], axis=1)
+    Q, R = jnp.linalg.qr(B)
+    d = jnp.diagonal(R)
+    phase = d / jnp.abs(d)
+    return Q * phase[None, :]
+
+
+def row_completion(rows: jnp.ndarray) -> jnp.ndarray:
+    """Complete a (k, m) matrix with orthonormal rows to an (m, m) unitary
+    whose first k rows are exactly ``rows``."""
+    return cT(unitary_completion(cT(rows)))
+
+
+def polar(A: jnp.ndarray):
+    """Polar decomposition A = U P via SVD (TPU-supported, differentiable)."""
+    u, s, vh = jnp.linalg.svd(A, full_matrices=False)
+    U = u @ vh
+    P = cT(vh) @ (s[:, None] * vh)
+    return U, P
+
+
+def rotate_to_hermitian(r: jnp.ndarray) -> jnp.ndarray:
+    """Remove the global phase from a matrix that is hermitian up to a phase
+    (xmps.tensor.rotate_to_hermitian analogue).
+
+    If r = e^{i phi} h with h hermitian, then tr(r @ r) = e^{2 i phi} |h|_F^2,
+    so phi is recovered up to pi; the sign is fixed so that tr(h) >= 0.
+    """
+    t = jnp.trace(r @ r)
+    phase = jnp.exp(-0.5j * jnp.angle(t))
+    h = r * phase
+    sign = jnp.where(jnp.real(jnp.trace(h)) < 0, -1.0, 1.0)
+    return h * sign
+
+
+def eye_like(A: jnp.ndarray) -> jnp.ndarray:
+    return jnp.eye(A.shape[-1], dtype=A.dtype)
+
+
+def frob_norm(A: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(jnp.sum(jnp.abs(A) ** 2))
+
+
+def random_unitary(key, n: int, dtype=CDTYPE) -> jnp.ndarray:
+    """Haar-ish random unitary via QR of a complex gaussian."""
+    import jax
+
+    kr, ki = jax.random.split(key)
+    A = jax.random.normal(kr, (n, n)) + 1j * jax.random.normal(ki, (n, n))
+    Q, R = jnp.linalg.qr(A.astype(dtype))
+    d = jnp.diagonal(R)
+    return Q * (d / jnp.abs(d))[None, :]

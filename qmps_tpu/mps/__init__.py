@@ -1,0 +1,2 @@
+from .imps import iMPS, Map, TransferMatrix  # noqa: F401
+from .transfer import dominant_eig_dense, dominant_eig_power  # noqa: F401

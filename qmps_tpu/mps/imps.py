@@ -1,0 +1,256 @@
+"""Uniform (infinite, translation-invariant) MPS.
+
+This module is the TPU-native replacement for the external xmps library the
+reference leans on everywhere (SURVEY.md L0): iMPS, TransferMatrix and Map
+with the same capabilities — random states, canonical forms, mixed gauge,
+expectation values, overlaps and fixed points — but built from jit-safe,
+differentiable primitives (QR/Cholesky/power-iteration, no scipy.eig).
+
+Conventions: an MPS tensor A has shape (d, D, D) = (physical, left, right),
+A[s] is a D x D matrix.  Left-canonical means sum_s A[s]^dag A[s] = I.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CDTYPE
+from ..core.linalg import cT, rotate_to_hermitian
+from . import transfer as tr
+
+
+def merge(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Block two site tensors into one (d^2, D, D) tensor
+    (reference qmps/time_evolve_tools.py:20-23)."""
+    d1, d2 = A.shape[0], B.shape[0]
+    return (
+        jnp.tensordot(A, B, [[2], [1]])  # (d1, D, d2, D)
+        .transpose([0, 2, 1, 3])
+        .reshape(d1 * d2, A.shape[1], B.shape[2])
+    )
+
+
+def random_tensor(key, d: int = 2, D: int = 2, dtype=CDTYPE) -> jnp.ndarray:
+    k1, k2 = jax.random.split(key)
+    A = jax.random.normal(k1, (d, D, D)) + 1j * jax.random.normal(k2, (d, D, D))
+    return A.astype(dtype)
+
+
+def _cholesky_psd(M: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky of a hermitian PSD matrix with a tiny jitter for safety."""
+    M = (M + cT(M)) / 2
+    eps = 1e-14 * jnp.trace(M).real
+    return jnp.linalg.cholesky(M + eps * jnp.eye(M.shape[-1], dtype=M.dtype))
+
+
+def left_orthogonalise(A: jnp.ndarray, dense: bool = True):
+    """Gauge A to left-canonical form.
+
+    Returns (AL, L_upper, eta): sum AL^dag AL = I, where l = L^dag L is the
+    dominant left fixed point of the transfer operator and eta its
+    eigenvalue (the state's norm-per-site before rescaling).
+    """
+    eta, l = tr.left_fixed_point(A, A, dense=dense)
+    # l is hermitian PSD up to numerical phase; scale to unit trace-free form
+    l = (l + cT(l)) / 2
+    l = l / jnp.trace(l)
+    C = _cholesky_psd(l)  # l = C C^dag, lower triangular C
+    M = cT(C)  # upper; l = M^dag M
+    Minv = jnp.linalg.inv(M)
+    AL = jnp.einsum("ij,sjk,kl->sil", M, A, Minv) / jnp.sqrt(eta.real)
+    return AL, M, eta
+
+
+def right_orthogonalise(A: jnp.ndarray, dense: bool = True):
+    """Gauge A to right-canonical form: sum AR AR^dag = I."""
+    eta, r = tr.right_fixed_point(A, A, dense=dense)
+    r = (r + cT(r)) / 2
+    r = r / jnp.trace(r)
+    C = _cholesky_psd(r)  # r = C C^dag
+    Cinv = jnp.linalg.inv(C)
+    AR = jnp.einsum("ij,sjk,kl->sil", Cinv, A, C) / jnp.sqrt(eta.real)
+    return AR, C, eta
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class iMPS:
+    """Uniform MPS with a (usually 1-site) unit cell, xmps-compatible API."""
+
+    data: tuple
+
+    def __init__(self, data: Sequence[jnp.ndarray] | None = None):
+        self.data = tuple(jnp.asarray(a) for a in data) if data is not None else ()
+
+    # pytree protocol -------------------------------------------------------
+    def tree_flatten(self):
+        return (self.data, None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.data = tuple(children)
+        return obj
+
+    def __getitem__(self, i):
+        return self.data[i]
+
+    def __len__(self):
+        return len(self.data)
+
+    # constructors ----------------------------------------------------------
+    @classmethod
+    def random(cls, key, d: int = 2, D: int = 2, n: int = 1, dtype=CDTYPE):
+        keys = jax.random.split(key, n)
+        return cls([random_tensor(k, d, D, dtype) for k in keys])
+
+    # properties -------------------------------------------------------------
+    @property
+    def blocked(self) -> jnp.ndarray:
+        """The unit cell merged into a single site tensor."""
+        A = self.data[0]
+        for B in self.data[1:]:
+            A = merge(A, B)
+        return A
+
+    @property
+    def d(self):
+        return self.data[0].shape[0]
+
+    @property
+    def D(self):
+        return self.data[0].shape[1]
+
+    # canonical forms --------------------------------------------------------
+    def left_canonicalise(self) -> "iMPS":
+        if len(self.data) == 1:
+            AL, _, _ = left_orthogonalise(self.data[0])
+            return iMPS([AL])
+        # multi-site: canonicalise the blocked tensor and re-split is lossy;
+        # instead gauge each site with the blocked fixed point (adequate for
+        # the 2-site workloads in the reference, which always re-block).
+        AL, _, _ = left_orthogonalise(self.blocked)
+        return iMPS([AL])
+
+    def right_canonicalise(self) -> "iMPS":
+        AR, _, _ = right_orthogonalise(self.blocked)
+        return iMPS([AR])
+
+    def mixed(self):
+        """(AL, AR, C) mixed gauge of the (blocked) state
+        (xmps iMPS.mixed analogue; reference use: qmps/tools.py:184-186)."""
+        AL, _, _ = left_orthogonalise(self.blocked)
+        _, r = tr.right_fixed_point(AL, AL)
+        r = (r + cT(r)) / 2
+        r = r / jnp.trace(r)
+        C = _cholesky_psd(r)  # r = C C^dag
+        Cinv = jnp.linalg.inv(C)
+        AR = jnp.einsum("ij,sjk,kl->sil", Cinv, AL, C)
+        return AL, AR, C
+
+    # transfer ---------------------------------------------------------------
+    def transfer_matrix(self) -> "TransferMatrix":
+        return TransferMatrix(self.blocked)
+
+    # observables ------------------------------------------------------------
+    def E(self, op: jnp.ndarray, canonical: bool = True) -> jnp.ndarray:
+        """Single-site expectation value <psi|op|psi> (per site)."""
+        A = self.blocked
+        if canonical:
+            AL, _, _ = left_orthogonalise(A)
+        else:
+            AL = A
+        _, r = tr.right_fixed_point(AL, AL)
+        r = (r + cT(r)) / 2
+        r = r / jnp.trace(r)
+        return jnp.einsum("st,sij,jk,tik->", jnp.asarray(op, A.dtype), AL, r, AL.conj())
+
+    def Es(self, ops: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        AL, _, _ = left_orthogonalise(self.blocked)
+        _, r = tr.right_fixed_point(AL, AL)
+        r = (r + cT(r)) / 2
+        r = r / jnp.trace(r)
+        return jnp.stack(
+            [
+                jnp.einsum("st,sij,jk,tik->", jnp.asarray(op, AL.dtype), AL, r, AL.conj()).real
+                for op in ops
+            ]
+        )
+
+    def E2(self, op2: jnp.ndarray) -> jnp.ndarray:
+        """Two-site expectation value of a (d^2 x d^2) operator."""
+        AL, _, _ = left_orthogonalise(self.blocked)
+        _, r = tr.right_fixed_point(AL, AL)
+        r = (r + cT(r)) / 2
+        r = r / jnp.trace(r)
+        A2 = merge(AL, AL)
+        h = jnp.asarray(op2, AL.dtype)
+        return jnp.einsum("st,sij,jk,tik->", h, A2, r, A2.conj())
+
+    def energy(self, h: jnp.ndarray) -> jnp.ndarray:
+        return self.E2(h).real
+
+    def overlap(self, other: "iMPS") -> jnp.ndarray:
+        """|<psi_A|psi_B>|^2 per site = |dominant eig of the mixed transfer
+        operator|^2, both states canonicalized (xmps overlap semantics as used
+        for Loschmidt echoes, scripts/loschmidt.py:370)."""
+        AL, _, _ = left_orthogonalise(self.blocked)
+        BL, _, _ = left_orthogonalise(other.blocked)
+        lam, _ = tr.right_fixed_point(AL, BL)
+        return jnp.abs(lam) ** 2
+
+
+class Map:
+    """Mixed transfer operator E^A_B (xmps Map analogue)."""
+
+    def __init__(self, A: jnp.ndarray, B: jnp.ndarray):
+        self.A = jnp.asarray(A)
+        self.B = jnp.asarray(B)
+
+    def asmatrix(self) -> jnp.ndarray:
+        return tr.transfer_dense(self.A, self.B)
+
+    def right_fixed_point(self, dense: bool = True):
+        return tr.right_fixed_point(self.A, self.B, dense=dense)
+
+    def left_fixed_point(self, dense: bool = True):
+        lam, l = tr.left_fixed_point(self.A, self.B, dense=dense)
+        return jnp.conj(lam), l
+
+    def is_right_eigenvector(self, r: jnp.ndarray, lam=None) -> jnp.ndarray:
+        Er = tr.right_matvec(self.A, self.B, r)
+        if lam is None:
+            lam = jnp.vdot(r.reshape(-1), Er.reshape(-1)) / jnp.vdot(
+                r.reshape(-1), r.reshape(-1)
+            )
+        return jnp.linalg.norm(Er - lam * r)
+
+    def is_left_eigenvector(self, l: jnp.ndarray, lam=None) -> jnp.ndarray:
+        El = tr.left_matvec(self.A, self.B, l)
+        if lam is None:
+            lam = jnp.vdot(l.reshape(-1), El.reshape(-1)) / jnp.vdot(
+                l.reshape(-1), l.reshape(-1)
+            )
+        return jnp.linalg.norm(El - lam * l)
+
+
+class TransferMatrix(Map):
+    """Transfer operator of a single state (xmps TransferMatrix analogue)."""
+
+    def __init__(self, A: jnp.ndarray):
+        super().__init__(A, A)
+
+    def eigs(self):
+        """(eta, l, r): dominant eigenvalue with left/right fixed points,
+        both hermitian with unit trace (xmps .eigs as consumed by
+        qmps/tools.py:176-182)."""
+        eta, r = tr.right_fixed_point(self.A, self.A)
+        _, l = tr.left_fixed_point(self.A, self.A)
+        r = (r + cT(r)) / 2
+        l = (l + cT(l)) / 2
+        r = r / jnp.trace(r)
+        l = l / jnp.trace(l)
+        return eta, l, r

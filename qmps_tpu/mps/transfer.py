@@ -1,0 +1,142 @@
+"""Transfer-operator fixed points, TPU-style.
+
+The reference gets environments from dense scipy eigensolves
+(qmps/tools.py:176-182 via xmps TransferMatrix.eigs;
+new_tdvp/ClassicalTDVPStripped.py:424-431) — non-differentiable, CPU-only,
+unbatchable.  Here fixed points come from two jit/vmap/grad-compatible
+solvers:
+
+- ``dominant_eig_dense``: repeated squaring of the dense transfer matrix.
+  log2-convergent (error ~ gap^(2^iters)), so ~30 matmuls give machine
+  precision for any spectral gap; ideal on the MXU for D <= 64.
+- ``dominant_eig_power``: scan-based power iteration in matvec form,
+  O(d D^3) per step, for large D where the dense D^2 x D^2 operator is too
+  big to materialize.
+
+Both are plain compositions of matmuls, so reverse-mode AD works out of the
+box (no custom fixed-point adjoint needed at these sizes).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def right_matvec(A: jnp.ndarray, B: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """(E r) = sum_s A[s] r B[s]^dag  — right action of the mixed transfer
+    operator E^A_B (xmps Map convention)."""
+    return jnp.einsum("sij,jk,slk->il", A, r, B.conj())
+
+
+def left_matvec(A: jnp.ndarray, B: jnp.ndarray, l: jnp.ndarray) -> jnp.ndarray:
+    """(l E) = sum_s A[s]^dag l B[s] — left action."""
+    return jnp.einsum("sji,jk,skl->il", A.conj(), l, B)
+
+
+def transfer_dense(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Dense (D_A D_B, D_A D_B) matrix E with E @ vec(r) = vec(sum A r B^dag)."""
+    return jnp.einsum("sik,sjl->ijkl", A, B.conj()).reshape(
+        A.shape[1] * B.shape[1], A.shape[2] * B.shape[2]
+    )
+
+
+def dominant_eig_dense(E: jnp.ndarray, n_squarings: int = 40):
+    """Dominant eigenpair of a dense matrix by repeated squaring.
+
+    Returns (lam, v) with v unit-norm (arbitrary phase).  Error after k
+    squarings ~ |lam_2/lam_1|^(2^k): converged to machine precision for any
+    nontrivial gap.  Differentiable (matmul chain).
+    """
+    n = E.shape[0]
+
+    def step(M, _):
+        M2 = M @ M
+        M2 = M2 / jnp.linalg.norm(M2)
+        return M2, None
+
+    M0 = E / jnp.linalg.norm(E)
+    M, _ = lax.scan(step, M0, None, length=n_squarings)
+    # a generic start vector; vec(I) has weight on the dominant eigenvector
+    # for transfer operators (overlap with the fixed point is the state norm)
+    v0 = jnp.eye(int(n**0.5 + 0.5), dtype=E.dtype).reshape(-1) if int(n**0.5 + 0.5) ** 2 == n else jnp.ones((n,), E.dtype)
+    v = M @ v0
+    # fall back to a fixed pseudo-random vector if v0 was (near-)orthogonal
+    # to the dominant eigenspace
+    alt = M @ _chirp(n, E.dtype)
+    use_alt = jnp.linalg.norm(v) < 1e-8 * jnp.linalg.norm(alt)
+    v = jnp.where(use_alt, alt, v)
+    v = v / jnp.linalg.norm(v)
+    lam = jnp.vdot(v, E @ v)
+    return lam, v
+
+
+def _chirp(n: int, dtype) -> jnp.ndarray:
+    k = jnp.arange(n)
+    return (jnp.cos(0.7 * k + 0.3) + 1j * jnp.sin(1.3 * k + 1.1)).astype(dtype)
+
+
+def dominant_eig_power(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray], v0: jnp.ndarray, iters: int = 200
+):
+    """Dominant eigenpair by power iteration in operator form.
+
+    For matvecs with complex dominant eigenvalue the iterate's phase rotates,
+    but the Rayleigh quotient converges; we return (lam, v) with |v| = 1.
+    """
+
+    def step(v, _):
+        w = matvec(v)
+        return w / jnp.linalg.norm(w), None
+
+    v0 = v0 / jnp.linalg.norm(v0)
+    v, _ = lax.scan(step, v0, None, length=iters)
+    w = matvec(v)
+    lam = jnp.vdot(v, w)
+    return lam, v
+
+
+def right_fixed_point(A: jnp.ndarray, B: jnp.ndarray, dense: bool = True, iters: int = 40):
+    """Dominant (lam, r) of r -> sum_s A[s] r B[s]^dag, r as a (D, D) matrix.
+
+    r is phase-normalized to hermitian with unit Frobenius norm and
+    nonnegative trace (the gauge the circuit embeddings expect; see
+    qmps/time_evolve_tools.py:38-74 where embeddings divide by |q|_F).
+    """
+    from ..core.linalg import rotate_to_hermitian
+
+    D1, D2 = A.shape[1], B.shape[1]
+    if dense:
+        E = transfer_dense(A, B)
+        lam, v = dominant_eig_dense(E, n_squarings=iters)
+    else:
+        lam, v = dominant_eig_power(
+            lambda r: right_matvec(A, B, r.reshape(D1, D2)).reshape(-1),
+            jnp.eye(max(D1, D2), dtype=A.dtype)[:D1, :D2].reshape(-1),
+            iters=max(iters, 200),
+        )
+    r = rotate_to_hermitian(v.reshape(D1, D2))
+    return lam, r / jnp.linalg.norm(r)
+
+
+def left_fixed_point(A: jnp.ndarray, B: jnp.ndarray, dense: bool = True, iters: int = 40):
+    """Dominant (lam, l) of l -> sum_s A[s]^dag l B[s]."""
+    from ..core.linalg import rotate_to_hermitian
+
+    D1, D2 = A.shape[1], B.shape[1]
+    if dense:
+        # left action of E is the right action of (A^dag-tensors, B^dag-tensors)
+        Ad = jnp.swapaxes(A, 1, 2).conj()
+        Bd = jnp.swapaxes(B, 1, 2).conj()
+        E = transfer_dense(Ad, Bd)
+        lam, v = dominant_eig_dense(E, n_squarings=iters)
+    else:
+        lam, v = dominant_eig_power(
+            lambda l: left_matvec(A, B, l.reshape(D1, D2)).reshape(-1),
+            jnp.eye(max(D1, D2), dtype=A.dtype)[:D1, :D2].reshape(-1),
+            iters=max(iters, 200),
+        )
+    l = rotate_to_hermitian(v.reshape(D1, D2))
+    return lam, l / jnp.linalg.norm(l)
