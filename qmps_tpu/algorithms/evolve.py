@@ -1,0 +1,182 @@
+"""Real-time TDVP evolution and Loschmidt echoes.
+
+TPU-native rebuild of the reference's time-evolution drivers
+(qmps/new_time_evolve.py:252-302, scripts/loschmidt.py:335-407,
+qmps/loschmidts/time_evo.py): per step, maximize the per-site overlap
+density of the candidate state with W|psi(t)> over the ansatz parameters.
+The inner optimization is a jitted adam scan warm-started from the current
+parameters; a whole trajectory runs as one host loop of compiled steps.
+
+This module provides the MPSTimeEvolve API the reference documents but
+lost (qmps/time_evolve.py is referenced by tests/notebooks yet absent from
+the tree — SURVEY.md section 2.8).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..circuits import ansatze
+from ..core.paulis import X, Y, Z
+from ..embed.unitaries import unitary_to_tensor
+from ..ham.hamiltonian import Hamiltonian
+from ..mps import transfer as tr
+from ..mps.imps import iMPS
+from ..objectives.overlap import mixed_transfer_with_gate, tdvp_objective
+
+
+@dataclasses.dataclass
+class EvolveRecord:
+    params: jnp.ndarray  # (steps+1, n_params)
+    loschmidt: jnp.ndarray  # (steps,) |<psi_0|psi_t>|^2 per site
+    evs: jnp.ndarray  # (steps, 3) pauli expectation values
+    errors: jnp.ndarray  # (steps,) final inner objective values
+
+
+class MPSTimeEvolve:
+    """TDVP stepper over a parametrized circuit-MPS manifold.
+
+    gate: params -> state unitary (default the 15-param SU(4) circuit,
+    matching qmps/new_time_evolve.py:187-188).
+    """
+
+    def __init__(
+        self,
+        H,
+        dt: float,
+        gate: Callable | None = None,
+        inner_steps: int = 80,
+        lr: float = 3e-2,
+        trotter_factor: float = 2.0,
+    ):
+        h = H.to_matrix() if isinstance(H, Hamiltonian) else jnp.asarray(H)
+        self.h = h
+        self.dt = dt
+        # the reference evolves with W = expm(-i h * 2dt) per dt step: the
+        # 2-site gate advances the 2-site unit cell (scripts/loschmidt.py:341)
+        self.W = jax.scipy.linalg.expm(-1j * h * trotter_factor * dt)
+        self.gate = ansatze.shallow_full_state if gate is None else gate
+        self.inner_steps = inner_steps
+        self.lr = lr
+        self._step = self._build_step()
+
+    def tensor(self, params) -> jnp.ndarray:
+        return unitary_to_tensor(self.gate(params))
+
+    def _build_step(self):
+        gate, W, inner, lr = self.gate, self.W, self.inner_steps, self.lr
+        opt = optax.adam(lr)
+
+        def loss(p, A):
+            B = unitary_to_tensor(gate(p))
+            return tdvp_objective(A, B, W)
+
+        vg = jax.value_and_grad(loss)
+
+        @jax.jit
+        def step(params):
+            A = unitary_to_tensor(gate(params))
+
+            def inner_step(carry, _):
+                p, s = carry
+                v, g = vg(p, A)
+                up, s = opt.update(g, s)
+                return (optax.apply_updates(p, up), s), v
+
+            (p, _), hist = jax.lax.scan(
+                inner_step, (params, opt.init(params)), None, length=inner
+            )
+            return p, hist[-1]
+
+        return step
+
+    def step(self, params):
+        """One TDVP step: returns (new_params, final objective value)."""
+        return self._step(params)
+
+    def evolve(self, params0: jnp.ndarray, n_steps: int, record_ops=(X, Y, Z)) -> EvolveRecord:
+        params = jnp.asarray(params0)
+        psi0 = iMPS([self.tensor(params)])
+        ps, les, evss, errs = [params], [], [], []
+        for _ in range(n_steps):
+            psi_t = iMPS([self.tensor(params)])
+            evss.append(psi_t.Es(record_ops))
+            les.append(psi_t.overlap(psi0))
+            params, err = self.step(params)
+            ps.append(params)
+            errs.append(err)
+        return EvolveRecord(
+            params=jnp.stack(ps),
+            loschmidt=jnp.stack(les),
+            evs=jnp.stack(evss),
+            errors=jnp.stack(errs),
+        )
+
+
+def compile_state_to_ansatz(
+    A: jnp.ndarray,
+    gate: Callable | None = None,
+    n_params: int = 15,
+    steps: int = 800,
+    lr: float = 5e-2,
+    key=None,
+) -> jnp.ndarray:
+    """Find ansatz params whose state maximally overlaps a target uMPS tensor
+    (the reference 'compile initial state into the gate' move,
+    scripts/loschmidt.py:356-359, done with gradients)."""
+    gate = ansatze.shallow_full_state if gate is None else gate
+    key = jax.random.PRNGKey(0) if key is None else key
+    p0 = jax.random.normal(key, (n_params,)) * 0.1
+    eye = jnp.eye(4, dtype=A.dtype)
+
+    def loss(p):
+        B = unitary_to_tensor(gate(p))
+        return tdvp_objective(A, B, eye)
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(p0):
+        def step(carry, _):
+            p, s = carry
+            g = jax.grad(loss)(p)
+            up, s = opt.update(g, s)
+            return (optax.apply_updates(p, up), s), None
+
+        (p, _), _ = jax.lax.scan(step, (p0, opt.init(p0)), None, length=steps)
+        return p
+
+    return run(p0)
+
+
+def loschmidt_echo_run(
+    g0: float,
+    g1: float,
+    t_max: float,
+    n_steps: int,
+    gate: Callable | None = None,
+    inner_steps: int = 120,
+    gs_steps: int = 400,
+    key=None,
+):
+    """Full quench pipeline (scripts/loschmidt.py:335-382): ground state of
+    TFIM(g0), compiled into the ansatz, evolved under TFIM(g1); returns
+    (times, rate function -log(overlap density), EvolveRecord)."""
+    from .ground_state import find_ground_state
+
+    H0, H1 = Hamiltonian({"ZZ": -1.0, "X": g0}), Hamiltonian({"ZZ": -1.0, "X": g1})
+    gate = ansatze.shallow_full_state if gate is None else gate
+
+    gs = find_ground_state(H0, D=2, ansatz="full15", method="lbfgs", steps=gs_steps, key=key)
+    params0 = gs.params  # same ansatz family: reuse directly
+
+    dt = t_max / n_steps
+    stepper = MPSTimeEvolve(H1, dt, gate=gate, inner_steps=inner_steps)
+    rec = stepper.evolve(params0, n_steps)
+    times = jnp.arange(1, n_steps + 1) * dt
+    rates = -jnp.log(rec.loschmidt)
+    return times, rates, rec

@@ -1,0 +1,225 @@
+"""Variational ground-state search.
+
+Functional core + thin class wrappers named after the reference optimizer
+family (qmps/ground_state.py:120-526).  Every optimizer minimizes a pure
+jitted energy objective with exact gradients; the scipy bridge reproduces
+the reference's Nelder-Mead behavior when requested.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..circuits import ansatze
+from ..embed.unitaries import unitary_to_tensor
+from ..ham.hamiltonian import Hamiltonian
+from ..objectives.energy import (
+    energy_exact_env,
+    energy_joint_env_purity,
+    energy_two_site,
+)
+from ..optim.minimize import OptResult, minimize_adam, minimize_lbfgs, minimize_scipy
+from ..optim.rotosolve import rotosolve
+
+
+@dataclasses.dataclass
+class GroundStateResult:
+    params: jnp.ndarray
+    energy: float
+    history: Optional[jnp.ndarray]
+    U: jnp.ndarray
+    A: jnp.ndarray
+
+
+def _ansatz_builder(ansatz: str, D: int) -> Callable:
+    if ansatz == "suN":
+        return lambda p: ansatze.full_state_suN(p, D)
+    if ansatz == "full15":
+        assert D == 2
+        return ansatze.shallow_full_state
+    builder = ansatze.STATE_ANSATZE[ansatz]
+    return lambda p: builder(D, p)
+
+
+def n_params(ansatz: str, D: int, depth: int = 2) -> int:
+    if ansatz == "suN":
+        return (2 * D) ** 2 - 1
+    if ansatz == "full15":
+        return 15
+    if ansatz == "su4":
+        return 15
+    per_layer = {"qaoa": 2, "cnot": 2, "cnot3": 3, "exact_after_4": 6}.get(ansatz)
+    if ansatz == "cnot_nonuniform":
+        per_layer = 2 * (int(D).bit_length())
+    return per_layer * depth
+
+
+def find_ground_state(
+    H,
+    D: int = 2,
+    ansatz: str = "suN",
+    depth: int = 2,
+    method: str = "lbfgs",
+    steps: int = 500,
+    initial_guess: jnp.ndarray | None = None,
+    key=None,
+) -> GroundStateResult:
+    """Minimize <h> over the circuit-MPS manifold.
+
+    H may be a Hamiltonian or a dense 4x4 matrix.  ansatz in
+    {'suN', 'full15', 'cnot', 'qaoa', 'cnot3', 'exact_after_4', ...};
+    method in {'adam', 'lbfgs', 'rotosolve', 'Nelder-Mead', 'Powell', ...}.
+    """
+    h = H.to_matrix() if isinstance(H, Hamiltonian) else jnp.asarray(H)
+    build = _ansatz_builder(ansatz, D)
+    if initial_guess is None:
+        key = jax.random.PRNGKey(0) if key is None else key
+        initial_guess = jax.random.normal(key, (n_params(ansatz, D, depth),)) * 0.5
+
+    def loss(p):
+        return energy_exact_env(build(p), h)
+
+    res = _run(loss, initial_guess, method, steps)
+    U = build(res.x)
+    return GroundStateResult(
+        params=res.x,
+        energy=float(res.fun),
+        history=res.history,
+        U=U,
+        A=unitary_to_tensor(U),
+    )
+
+
+def _run(loss, x0, method, steps) -> OptResult:
+    if method == "adam":
+        return minimize_adam(loss, x0, steps=steps)
+    if method == "lbfgs":
+        return minimize_lbfgs(loss, x0, steps=steps)
+    if method == "rotosolve":
+        x, hist = rotosolve(loss, x0, n_sweeps=max(1, steps // 10))
+        return OptResult(x=x, fun=float(loss(x)), history=hist, nit=steps)
+    return minimize_scipy(loss, x0, method=method)
+
+
+# -- reference-named wrappers -------------------------------------------------
+
+
+class _OptimizerBase:
+    """Settings-dict interface matching qmps/tools.py:203-284."""
+
+    def __init__(self):
+        self.settings = {
+            "maxiter": 500,
+            "verbose": False,
+            "method": "lbfgs",
+            "tol": 1e-8,
+            "store_values": True,
+        }
+        self.obj_fun_values = None
+        self.optimized_result: OptResult | None = None
+
+    def change_settings(self, new_settings):
+        self.settings.update(new_settings)
+
+    def objective_function(self, params):
+        raise NotImplementedError
+
+    def optimize(self):
+        res = _run(
+            self.objective_function,
+            self.initial_guess,
+            self.settings["method"],
+            self.settings["maxiter"],
+        )
+        self.optimized_result = res
+        if res.history is not None:
+            self.obj_fun_values = res.history
+        self.update_state()
+        return res
+
+    def update_state(self):
+        pass
+
+
+class NonSparseFullEnergyOptimizer(_OptimizerBase):
+    """Full SU(2D) parametrization, exact environment
+    (qmps/ground_state.py:230-269)."""
+
+    def __init__(self, H, D: int = 2, initial_guess=None, key=None):
+        super().__init__()
+        self.h = H.to_matrix() if isinstance(H, Hamiltonian) else jnp.asarray(H)
+        self.D = D
+        if initial_guess is None:
+            key = jax.random.PRNGKey(0) if key is None else key
+            initial_guess = jax.random.normal(key, ((2 * D) ** 2 - 1,)) * 0.5
+        self.initial_guess = jnp.asarray(initial_guess)
+
+    def objective_function(self, params):
+        return energy_exact_env(ansatze.full_state_suN(params, self.D), self.h)
+
+    def update_state(self):
+        self.U = ansatze.full_state_suN(self.optimized_result.x, self.D)
+
+
+class SparseFullEnergyOptimizer(_OptimizerBase):
+    """Shallow-ansatz optimizer, exact env or jointly optimized env with the
+    purity penalty (qmps/ground_state.py:120-228)."""
+
+    def __init__(
+        self,
+        H,
+        D: int = 2,
+        depth: int = 2,
+        ansatz: str = "cnot",
+        optimize_environment: bool = False,
+        initial_guess=None,
+        key=None,
+    ):
+        super().__init__()
+        self.h = H.to_matrix() if isinstance(H, Hamiltonian) else jnp.asarray(H)
+        self.D = D
+        self.optimize_environment = optimize_environment
+        if optimize_environment:
+            self._np = 30
+            self.build = None
+        else:
+            self.build = _ansatz_builder(ansatz, D)
+            self._np = n_params(ansatz, D, depth)
+        if initial_guess is None:
+            key = jax.random.PRNGKey(0) if key is None else key
+            initial_guess = jax.random.normal(key, (self._np,)) * 0.5
+        self.initial_guess = jnp.asarray(initial_guess)
+
+    def objective_function(self, params):
+        if self.optimize_environment:
+            return energy_joint_env_purity(params, self.h)
+        return energy_exact_env(self.build(params), self.h)
+
+    def update_state(self):
+        if not self.optimize_environment:
+            self.U = self.build(self.optimized_result.x)
+
+
+class NonSparseFullTwoSiteEnergyOptimizer(_OptimizerBase):
+    """2-site unit cell, two SU(4)s, averaged two-bond energy
+    (qmps/ground_state.py:271-335)."""
+
+    def __init__(self, H, initial_guess=None, key=None):
+        super().__init__()
+        self.h = H.to_matrix() if isinstance(H, Hamiltonian) else jnp.asarray(H)
+        if initial_guess is None:
+            key = jax.random.PRNGKey(0) if key is None else key
+            initial_guess = jax.random.normal(key, (30,)) * 0.5
+        self.initial_guess = jnp.asarray(initial_guess)
+
+    def objective_function(self, params):
+        U1 = ansatze.full_state_su4(params[:15])
+        U2 = ansatze.full_state_su4(params[15:])
+        return energy_two_site(U1, U2, self.h)
+
+    def update_state(self):
+        self.U1 = ansatze.full_state_su4(self.optimized_result.x[:15])
+        self.U2 = ansatze.full_state_su4(self.optimized_result.x[15:])

@@ -31,11 +31,14 @@ from .gates import ry, rz
 
 
 @lru_cache(maxsize=None)
-def su_generators(N: int) -> jnp.ndarray:
+def su_generators(N: int) -> np.ndarray:
     """Generalized Gell-Mann basis of su(N), stacked (N^2-1, N, N).
 
     Ordering: for each pair j<k (row-major) the symmetric then antisymmetric
     generator, followed by the N-1 diagonal generators.
+
+    Cached as a host numpy array: caching a jnp array created inside a jit
+    trace would leak a tracer out of the transform.
     """
     gens = []
     for j in range(N):
@@ -52,7 +55,7 @@ def su_generators(N: int) -> jnp.ndarray:
         d[:l, :l] = np.eye(l)
         d[l, l] = -l
         gens.append(np.sqrt(2.0 / (l * (l + 1))) * d)
-    return jnp.asarray(np.stack(gens), dtype=CDTYPE)
+    return np.stack(gens)
 
 
 def SU(v, N: int) -> jnp.ndarray:
@@ -68,7 +71,7 @@ def U4(v) -> jnp.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _first_column_generators() -> jnp.ndarray:
+def _first_column_generators() -> np.ndarray:
     """7 su(4) generators whose exponential sweeps out all states e^{iH}|00>.
 
     The reference keeps the xmps lambdas with support in the first column
@@ -86,7 +89,7 @@ def _first_column_generators() -> jnp.ndarray:
         gens.append(a)
     d = np.diag([3.0, -1.0, -1.0, -1.0]) / np.sqrt(6.0)
     gens.append(d.astype(np.complex128))
-    return jnp.asarray(np.stack(gens), dtype=CDTYPE)
+    return np.stack(gens)
 
 
 def first_column_unitary(p) -> jnp.ndarray:

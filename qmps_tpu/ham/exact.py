@@ -1,0 +1,60 @@
+"""Exact-physics oracles for validation (reference L7 layer).
+
+- ``tfim_gs_energy(g)``: free-fermion TFIM ground-state energy per site
+  (scripts/ground_state_finding.py:70-72).
+- ``loschmidt_rate(t, g0, g1)``: exact quench rate function
+  (qmps/exact_loschmidt.py:7-21).
+
+Both are Gauss-Legendre quadratures in jnp so they jit/vmap, with enough
+nodes for ~1e-12 accuracy (the integrands are smooth on (0, pi)).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=None)
+def _gl_nodes(n: int = 256):
+    # cached as numpy (never cache jnp arrays created under a jit trace)
+    x, w = np.polynomial.legendre.leggauss(n)
+    # map [-1, 1] -> [0, pi]
+    k = (x + 1) * (np.pi / 2)
+    w = w * (np.pi / 2)
+    return k, w
+
+
+def tfim_gs_energy(g) -> jnp.ndarray:
+    """E0 per site of H = -ZZ + g X:  -(1/pi) Int_0^pi sqrt(1+g^2-2g cos k) dk."""
+    k, w = _gl_nodes()
+    g = jnp.asarray(g)
+    eps = jnp.sqrt(1.0 + g[..., None] ** 2 - 2.0 * g[..., None] * jnp.cos(k))
+    return -(eps * w).sum(-1) / jnp.pi
+
+
+def _f(z, g0, g1) -> jnp.ndarray:
+    """The boundary partition-function exponent f(z) of the TFIM quench.
+
+    Uses a denser grid than the energy integral: near dynamical phase
+    transitions the integrand develops an (integrable) log singularity.
+    """
+    k, w = _gl_nodes(4096)
+
+    def theta(k, g):
+        return jnp.arctan2(jnp.sin(k), g - jnp.cos(k)) / 2
+
+    phi = theta(k, g0) - theta(k, g1)
+    eps = -2 * jnp.sqrt((g1 - jnp.cos(k)) ** 2 + jnp.sin(k) ** 2)
+    integrand = -1 / (2 * jnp.pi) * jnp.log(
+        jnp.cos(phi) ** 2 + jnp.sin(phi) ** 2 * jnp.exp(-2 * z * eps)
+    )
+    return (integrand * w).sum(-1)
+
+
+def loschmidt_rate(t, g0, g1) -> jnp.ndarray:
+    """Exact rate function lambda(t) = f(it) + f(-it) of the Loschmidt echo
+    after a g0 -> g1 quench."""
+    t = jnp.asarray(t, jnp.complex128)
+    return jnp.real(_f(1j * t, g0, g1) + _f(-1j * t, g0, g1))

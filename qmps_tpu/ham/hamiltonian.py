@@ -1,0 +1,87 @@
+"""Pauli-string Hamiltonians (reference: qmps/ground_state.py:66-118).
+
+``Hamiltonian({'ZZ': -1, 'X': l})`` is the TFIM; single-character strings are
+split symmetrically across the bond exactly as the reference does
+(ground_state.py:73-80), so matrices agree entry-for-entry.
+"""
+from __future__ import annotations
+
+from itertools import product
+from typing import Dict
+
+import jax.numpy as jnp
+
+from ..config import CDTYPE
+from ..core.paulis import PAULI, kron_all
+
+
+class Hamiltonian:
+    """Two-site Hamiltonian as a dict of Pauli strings -> couplings."""
+
+    def __init__(self, strings: Dict[str, float] | None = None):
+        self.strings = dict(strings) if strings is not None else None
+        if self.strings is not None:
+            for key, val in list(self.strings.items()):
+                if len(key) == 1:
+                    self.strings["I" + key] = self.strings.get("I" + key, 0) + val / 2
+                    self.strings[key + "I"] = self.strings.get(key + "I", 0) + val / 2
+                    del self.strings[key]
+
+    def to_matrix(self) -> jnp.ndarray:
+        assert self.strings is not None
+        h = jnp.zeros((4, 4), CDTYPE)
+        for js, J in self.strings.items():
+            h = h + J * kron_all([PAULI[j] for j in js])
+        return h
+
+    @classmethod
+    def from_matrix(cls, mat) -> "Hamiltonian":
+        """Project a 4x4 matrix back onto Pauli strings
+        (ground_state.py:90-95)."""
+        mat = jnp.asarray(mat, CDTYPE)
+        keys = list(PAULI)
+        strings = {}
+        for a, b in product(keys, keys):
+            c = jnp.trace(kron_all([PAULI[a], PAULI[b]]) @ mat) / 4.0
+            if a + b != "II":
+                strings[a + b] = complex(c)
+        out = cls.__new__(cls)
+        out.strings = strings
+        return out
+
+
+def tfim(g: float) -> Hamiltonian:
+    """Transverse-field Ising H = -ZZ + g X (per-site field split over bonds)."""
+    return Hamiltonian({"ZZ": -1.0, "X": g})
+
+
+def xy() -> Hamiltonian:
+    """XY model (scripts/bond_dimension.py:18)."""
+    return Hamiltonian({"XX": 1.0, "YY": 1.0})
+
+
+def heisenberg(J: float = 1.0) -> Hamiltonian:
+    """Isotropic Heisenberg (new_tdvp/HeisenbergHam.py:24-25)."""
+    return Hamiltonian({"XX": J, "YY": J, "ZZ": J})
+
+
+def scars_H(mu: float) -> jnp.ndarray:
+    """4-site PXP scars Hamiltonian (scars.py:22-25); returns the dense
+    16x16 matrix (it is not a 2-site Pauli-string Hamiltonian)."""
+    import numpy as np
+
+    P = np.array([[0, 0], [0, 1]], dtype=complex)
+    Xm = np.array([[0, 1], [1, 0]], dtype=complex)
+    n = np.array([[1, 0], [0, 0]], dtype=complex)
+    I = np.eye(2, dtype=complex)
+
+    def mt(ops):
+        out = ops[0]
+        for o in ops[1:]:
+            out = np.kron(out, o)
+        return out
+
+    H = 0.5 * (mt([I, P, Xm, P]) + mt([P, Xm, P, I])) + (mu / 4) * (
+        mt([I, I, I, n]) + mt([I, I, n, I]) + mt([I, n, I, I]) + mt([n, I, I, I])
+    )
+    return jnp.asarray(H, CDTYPE)

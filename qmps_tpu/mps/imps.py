@@ -217,6 +217,11 @@ class Map:
         return tr.right_fixed_point(self.A, self.B, dense=dense)
 
     def left_fixed_point(self, dense: bool = True):
+        """Returns (x, l) with sum_s A[s]^dag l B[s] = conj(x) l and x the
+        (shared) dominant eigenvalue of the transfer operator.  Circuit
+        readout identity: 2 psi[0] = Tr(g l^T) (see
+        tests/test_overlap_identities.py; the reference states Tr(g l.conj()),
+        qmps/new_time_evolve.py:145, which coincides when l is hermitian)."""
         lam, l = tr.left_fixed_point(self.A, self.B, dense=dense)
         return jnp.conj(lam), l
 
