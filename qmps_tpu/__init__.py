@@ -33,9 +33,16 @@ Numerics policy: float64/complex128 is enabled globally (the 1e-10 parity
 targets require it); TPU hot paths explicitly cast to complex64 where speed
 matters and accuracy allows (see ``qmps_tpu.config``).
 """
+import os
+
 import jax
 
-jax.config.update("jax_enable_x64", True)
+# Correctness default: float64/complex128 (the 1e-10 parity targets need it).
+# TPU hot paths (bench.py, __graft_entry__.py) set QMPS_TPU_X64=0 before
+# importing: with x64 disabled every dtype request canonicalizes to 32-bit,
+# which is what the TPU backend supports (complex128 is not available there).
+if os.environ.get("QMPS_TPU_X64", "1") == "1":
+    jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
 

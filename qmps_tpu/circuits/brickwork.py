@@ -105,7 +105,7 @@ def right_env_matrix(U1, U2, U1d, U2d) -> jnp.ndarray:
         _t(U1d), [3, 8, 9, 10],
         _t(U1), [9, 10, 0, 11],
         _t(U2), [11, 6, 1, 2],
-        [1, 2, 4, 5, 0, 3, 6, 7],
+        [1, 2, 4, 5, 3, 0, 7, 6],
     )[0, 0, 0, 0, :, :, :, :].reshape(4, 4)
 
 
@@ -161,7 +161,7 @@ def manifold_overlap(U1, U2, U1d, U2d, Mr, Ml, W) -> jnp.ndarray:
         _t(U2), [14, 15, 2, 3],
         _t(U2), [16, 17, 4, 5],
         [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11],
-        optimize=True,
+        optimize='greedy',
     )
     return out[0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 
@@ -180,7 +180,7 @@ def expectation_2site(U1, U2, O) -> jnp.ndarray:
         _t(U2), [8, 16, 0, 1],
         _t(U2), [17, 11, 2, 3],
         [4, 5, 6, 7, 0, 1, 2, 3],
-        optimize=True,
+        optimize='greedy',
     )
     return out[0, 0, 0, 0, 0, 0, 0, 0].real
 
@@ -203,6 +203,6 @@ def expectation_4site(U1, U2, O) -> jnp.ndarray:
         _t(U2), [27, 28, 2, 3],
         _t(U2), [29, 17, 4, 5],
         [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11],
-        optimize=True,
+        optimize='greedy',
     )
     return out[0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0].real

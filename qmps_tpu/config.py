@@ -12,9 +12,16 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-#: correctness dtype — all tests and parity checks run in this.
-CDTYPE = jnp.complex128
-RDTYPE = jnp.float64
+#: correctness dtype — all tests and parity checks run in this.  When the
+#: package was imported with QMPS_TPU_X64=0 (TPU mode), requests for 64-bit
+#: dtypes would be silently truncated anyway, so point the aliases at the
+#: 32-bit types to keep dtype handling explicit and warning-free.
+if jax.config.jax_enable_x64:
+    CDTYPE = jnp.complex128
+    RDTYPE = jnp.float64
+else:
+    CDTYPE = jnp.complex64
+    RDTYPE = jnp.float32
 
 #: TPU hot-path dtype.
 FAST_CDTYPE = jnp.complex64

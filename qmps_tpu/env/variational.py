@@ -76,8 +76,16 @@ def get_env_variational(U: jnp.ndarray, key=None, steps: int = 600, lr: float = 
 
     @jax.jit
     def loss(v):
+        # squared bloch distance: smooth at the optimum (the reference's
+        # norm objective has a gradient singularity at 0, fine for
+        # Nelder-Mead but bad for gradient descent)
         V = environment_to_unitary(from_real_vector(v))
-        return tomography_env_objective(U, V)
+        kv = int(V.shape[0]).bit_length() - 1
+        psi1 = state_circuit_psi(U, V, 1)
+        psi2 = circuit_state([(V, tuple(range(kv)))], kv)
+        b1 = bloch_vector(reduced_density_matrix(psi1, [0], 1 + kv))
+        b2 = bloch_vector(reduced_density_matrix(psi2, [0], kv))
+        return jnp.sum((b1 - b2) ** 2)
 
     opt = optax.adam(lr)
 

@@ -1,0 +1,115 @@
+"""Sharded phase-diagram sweeps.
+
+The reference's scaling story is joblib/cluster job arrays over (g, D, p,
+noise, seed) points (SURVEY.md section 2.9).  Here a sweep is one XLA
+program: vmap over the sweep axis inside each device, shard_map over the
+mesh across devices — a 1000-point TFIM phase diagram is a single
+compiled+sharded call (BASELINE.json config 4).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..circuits import ansatze
+from ..core.paulis import I2, X, Z
+from ..objectives.energy import energy_exact_env
+
+
+def tfim_matrix(g):
+    """Traceable TFIM 2-site matrix -ZZ + g (XI + IX)/2."""
+    return -jnp.kron(Z, Z) + g / 2.0 * (jnp.kron(X, I2) + jnp.kron(I2, X))
+
+
+def _optimize_one(g, p0, build, steps: int, lr: float):
+    """One full adam ground-state optimization, scan-jitted."""
+    h = tfim_matrix(g)
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
+    opt = optax.adam(sched)
+
+    def loss(p):
+        return energy_exact_env(build(p), h)
+
+    vg = jax.value_and_grad(loss)
+
+    def step(carry, _):
+        p, s = carry
+        v, gr = vg(p)
+        up, s = opt.update(gr, s)
+        return (optax.apply_updates(p, up), s), v
+
+    (p, _), hist = jax.lax.scan(step, (p0, opt.init(p0)), None, length=steps)
+    return loss(p), p
+
+
+def sweep_ground_states(
+    gs: jnp.ndarray,
+    D: int = 2,
+    ansatz: str = "suN",
+    steps: int = 300,
+    lr: float = 0.05,
+    key=None,
+    mesh: Mesh | None = None,
+):
+    """Ground-state energies for a batch of field values g.
+
+    vmap within a device; with a mesh, shard the g-axis across devices via
+    shard_map (collectives-free: points are independent, so the sweep rides
+    pure data parallelism — the natural mapping of this workload onto ICI).
+
+    Returns (energies, params): (n,) and (n, n_params).
+    """
+    if ansatz == "suN":
+        build = lambda p: ansatze.full_state_suN(p, D)
+        n_params = (2 * D) ** 2 - 1
+    elif ansatz == "full15":
+        build = ansatze.shallow_full_state
+        n_params = 15
+    else:
+        builder = ansatze.STATE_ANSATZE[ansatz]
+        build = lambda p: builder(D, p)
+        n_params = 2 * 2  # depth-2 default for shallow families
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    p0s = jax.random.normal(key, (gs.shape[0], n_params)) * 0.5
+
+    f = jax.vmap(lambda g, p0: _optimize_one(g, p0, build, steps, lr))
+
+    if mesh is None:
+        return jax.jit(f)(gs, p0s)
+
+    from jax import shard_map
+
+    sharded = shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P("sweep"), P("sweep")),
+        out_specs=(P("sweep"), P("sweep")),
+    )
+    return jax.jit(sharded)(gs, p0s)
+
+
+def phase_diagram_sweep(
+    gs: jnp.ndarray,
+    Ds=(2,),
+    ansatz: str = "suN",
+    steps: int = 300,
+    key=None,
+    mesh: Mesh | None = None,
+):
+    """(len(Ds), len(gs)) energy table — the reference's phase-diagram
+    experiment (scripts/ground_state_finding.py:165-213) at sweep scale.
+    D values compile separately (ragged shapes); g points run
+    vmapped+sharded."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    es = []
+    for i, D in enumerate(Ds):
+        e, _ = sweep_ground_states(
+            gs, D=D, ansatz=ansatz, steps=steps, key=jax.random.fold_in(key, i), mesh=mesh
+        )
+        es.append(e)
+    return jnp.stack(es)

@@ -1,0 +1,126 @@
+"""Gen-2 brickwork stack: state builders, tensor converters, energies,
+TDVP evolution, and the TPU fast kernel's exactness."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qmps_tpu.algorithms.brickwork_tdvp import (
+    BrickworkEvolver,
+    bw_layer_energy,
+    brickwork_energy,
+    evolve_cost_exact_env,
+    optimize_brickwork,
+)
+from qmps_tpu.circuits.brickwork import (
+    bricks_to_tensor_left,
+    bw_state,
+    manifold_overlap,
+    param_bricks,
+)
+from qmps_tpu.core.linalg import random_unitary
+from qmps_tpu.ham import tfim, tfim_gs_energy
+from qmps_tpu.kernels import manifold_overlap_batched
+from qmps_tpu.mps.imps import iMPS
+
+
+def test_param_bricks_unitary(key):
+    U1, U2 = param_bricks(jax.random.normal(key, (22,)))
+    for U in (U1, U2):
+        np.testing.assert_allclose(
+            np.asarray(U.conj().T @ U), np.eye(4), atol=1e-10
+        )
+
+
+def test_bw_state_normalized(key):
+    U1, U2 = param_bricks(jax.random.normal(key, (22,)))
+    for l in (2, 3):
+        psi = bw_state(U1, U2, l)
+        np.testing.assert_allclose(float(jnp.linalg.norm(psi)), 1.0, atol=1e-10)
+
+
+def test_windowed_energy_identity_bricks():
+    """Zero params -> identity bricks -> |00..> product: <-ZZ> = -1."""
+    from qmps_tpu.core.paulis import Z
+
+    h = -jnp.kron(Z, Z)
+    e_win = float(brickwork_energy(jnp.zeros(22), h))
+    np.testing.assert_allclose(e_win, -1.0, atol=1e-9)
+
+
+def test_bricks_to_tensor_canonical_forms(key):
+    """Brick -> MPS tensor conversion (BrickWallMPS.py:89-111): the
+    left-leaning form is left-canonical and the right-leaning form is
+    right-canonical after reordering to (d, D, D)."""
+    p = jax.random.normal(key, (22,)) * 0.4
+    U1, U2 = param_bricks(p)
+    from qmps_tpu.circuits.brickwork import bricks_to_tensor_right
+
+    AL = jnp.transpose(bricks_to_tensor_left(U1, U2), (1, 0, 2))
+    g = sum(np.asarray(AL[s]).conj().T @ np.asarray(AL[s]) for s in range(4))
+    np.testing.assert_allclose(g, np.eye(2), atol=1e-10)
+    AR = jnp.transpose(bricks_to_tensor_right(U1, U2), (1, 0, 2))
+    gr = sum(np.asarray(AR[s]) @ np.asarray(AR[s]).conj().T for s in range(4))
+    np.testing.assert_allclose(gr, np.eye(2), atol=1e-10)
+
+
+def test_brickwork_env_matches_blocked_map(key):
+    """The brickwork right-transfer eigenvalue equals the dominant
+    eigenvalue of the mixed transfer map of the blocked (d=4) tensors —
+    the two gen-2 representations describe the same physics."""
+    from qmps_tpu.circuits.brickwork import exact_right_env
+    from qmps_tpu.mps.imps import Map
+
+    p1 = jax.random.normal(key, (22,)) * 0.4
+    p2 = jax.random.normal(jax.random.fold_in(key, 1), (22,)) * 0.4
+    U1, U2 = param_bricks(p1)
+    U1p, U2p = param_bricks(p2)
+    eta, _ = exact_right_env(U1, U2, U1p.conj().T, U2p.conj().T)
+    A = jnp.transpose(bricks_to_tensor_left(U1, U2), (1, 0, 2))
+    B = jnp.transpose(bricks_to_tensor_left(U1p, U2p), (1, 0, 2))
+    x, _ = Map(A, B).right_fixed_point()
+    np.testing.assert_allclose(complex(eta), complex(x), atol=1e-8)
+
+
+def test_fast_kernel_matches_einsum(key):
+    B = 5
+    mk = lambda s, n: jax.vmap(lambda k: random_unitary(k, n))(
+        jax.random.split(jax.random.fold_in(key, s), B)
+    )
+    U1, U2, U1p, U2p = mk(0, 4), mk(1, 4), mk(2, 4), mk(3, 4)
+    M = mk(4, 2)
+    W = random_unitary(jax.random.fold_in(key, 9), 16)
+    ref = jnp.stack(
+        [
+            manifold_overlap(
+                U1[i], U2[i], U1p[i].conj().T, U2p[i].conj().T,
+                M[i], jnp.swapaxes(M[i], -1, -2).conj(), W,
+            )
+            for i in range(B)
+        ]
+    )
+    fast = manifold_overlap_batched(
+        U1, U2, U1p, U2p, M, jnp.swapaxes(M, -1, -2).conj(), W
+    )
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-12)
+
+
+def test_brickwork_ground_state():
+    res = optimize_brickwork(tfim(1.0).to_matrix(), steps=250)
+    # windowed objective is an approximation; reference-level accuracy
+    assert res.fun - float(tfim_gs_energy(1.0)) < 5e-2
+
+
+def test_brickwork_evolve_stationary(key):
+    """W = I: the evolution objective (which carries the reference's
+    unit-Frobenius environment normalization, so its value is not -1) is
+    near-stationary at params_new = params_cur: a few warm-started inner
+    steps barely move the parameters."""
+    p = jax.random.normal(key, (22,)) * 0.3
+    ev = BrickworkEvolver(jnp.eye(16, dtype=jnp.complex128), inner_steps=40, lr=5e-3)
+    traj, costs = ev.time_evolve(p, 2)
+    drift = float(jnp.linalg.norm(traj[-1] - traj[0]))
+    assert drift < 0.2, drift
+    # and the cost is a (locally) maximal overlap: perturbations don't help
+    c0 = float(evolve_cost_exact_env(p, p, jnp.eye(16, dtype=jnp.complex128)))
+    assert c0 < 0

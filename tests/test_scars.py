@@ -1,0 +1,75 @@
+"""Many-body scars: ansatz/tensor identity, quantum-vs-classical TDVP
+cross-validation (scars.py:171-199), Poincare machinery."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qmps_tpu.algorithms.scars import (
+    ScarsEvolver,
+    blocked_tensor,
+    classical_poincare_sweep,
+    classical_trajectory,
+    poincare_sections,
+    scars_cost,
+    scars_energy,
+    scars_W,
+)
+from qmps_tpu.circuits.ansatze import scars_ansatz, scars_tensor
+from qmps_tpu.embed import unitary_to_tensor
+from qmps_tpu.mps.imps import iMPS
+
+
+def test_scars_circuit_matches_analytic_tensor():
+    """The 2-qubit scars circuit embeds the analytic A(theta, phi)
+    (scars.py:29-48 vs :69-72) up to gauge: compare physical states."""
+    th, ph = 0.7, 1.3
+    U = scars_ansatz(jnp.array([th, ph]))
+    A_circ = unitary_to_tensor(U)
+    A_ref = scars_tensor(th, ph)
+    # same physical state: unit mixed-transfer eigenvalue
+    psi1, psi2 = iMPS([A_circ]), iMPS([A_ref])
+    # normalize the analytic tensor's state (it is right-canonical-ish)
+    ov = float(psi1.overlap(psi2))
+    np.testing.assert_allclose(ov, 1.0, atol=1e-8)
+
+
+def test_scars_cost_self_identity():
+    """W = I, same params: perfect overlap."""
+    p = jnp.array([0.6, 0.9, 1.1, 0.4])
+    W = jnp.eye(16, dtype=jnp.complex128)
+    np.testing.assert_allclose(float(scars_cost(p, p, W)), -1.0, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_quantum_matches_classical_odes():
+    """Short-horizon agreement of the variational quantum evolution with the
+    classical TDVP ODEs (scars.py:171-199 'almost exactly recreate')."""
+    mu = 0.325
+    dt = 0.05
+    steps = 12
+    p0 = jnp.array([0.6, 0.9, 1.1, 0.4])
+    ev = ScarsEvolver(mu, dt, inner_steps=200, lr=1e-2)
+    qtraj = np.asarray(ev.simulate(p0, steps))
+    ts = jnp.arange(steps) * dt
+    ctraj = np.mod(np.asarray(classical_trajectory(p0, ts, mu)), 2 * np.pi)
+    err = np.max(np.abs(np.angle(np.exp(1j * (qtraj - ctraj)))))
+    assert err < 0.05, err
+
+
+def test_classical_poincare_sweep_and_sections():
+    mu = 0.325
+    ts = jnp.linspace(0, 20, 400)
+    y0s = jax.random.normal(jax.random.PRNGKey(0), (4, 4))
+    trajs = classical_poincare_sweep(y0s, ts, mu)
+    assert trajs.shape == (4, 400, 4)
+    assert np.all(np.isfinite(np.asarray(trajs)))
+    wrapped = jnp.mod(trajs, 2 * jnp.pi)
+    secs = poincare_sections(wrapped)
+    assert len(secs) == 4
+
+
+def test_scars_energy_finite():
+    p = jnp.array([0.6, 0.9, 1.1, 0.4])
+    e = float(scars_energy(p, 0.325))
+    assert np.isfinite(e)

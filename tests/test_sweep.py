@@ -1,0 +1,34 @@
+"""Sharded sweeps on the 8-device virtual CPU mesh (BASELINE config 4
+machinery)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qmps_tpu.ham import tfim_gs_energy
+from qmps_tpu.parallel import make_mesh, phase_diagram_sweep, sweep_ground_states
+
+
+def test_vmapped_sweep_energies():
+    gs = jnp.linspace(0.2, 2.0, 8)
+    es, params = sweep_ground_states(gs, D=2, steps=250)
+    exact = np.asarray(tfim_gs_energy(gs))
+    err = np.asarray(es) - exact
+    assert np.all(err > -1e-8)
+    assert np.max(err) < 5e-3
+
+
+def test_sharded_sweep_matches_vmap():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(8)
+    gs = jnp.linspace(0.2, 2.0, 16)
+    es_sharded, _ = sweep_ground_states(gs, D=2, steps=120, mesh=mesh)
+    es_local, _ = sweep_ground_states(gs, D=2, steps=120)
+    np.testing.assert_allclose(np.asarray(es_sharded), np.asarray(es_local), atol=1e-9)
+
+
+def test_phase_diagram_multi_D():
+    gs = jnp.linspace(0.5, 1.5, 8)
+    table = phase_diagram_sweep(gs, Ds=(2,), steps=150, mesh=make_mesh(8))
+    assert table.shape == (1, 8)
+    assert np.all(np.isfinite(np.asarray(table)))

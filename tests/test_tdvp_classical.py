@@ -1,0 +1,84 @@
+"""Classical TDVP engine (the xmps iTDVP replacement): invariants and
+physics oracles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qmps_tpu.algorithms import find_ground_state
+from qmps_tpu.ham import loschmidt_rate, tfim, tfim_gs_energy
+from qmps_tpu.mps.imps import iMPS
+from qmps_tpu.mps.tdvp import (
+    Trajectory,
+    dA_dt,
+    dAC_dC_dt,
+    energy_density,
+    mixed_gauge,
+    tdvp_step,
+)
+
+
+def test_energy_density_matches_imps(key):
+    A = iMPS.random(key, 2, 4)[0]
+    AL, AR, C = mixed_gauge(A)
+    h = tfim(1.0).to_matrix()
+    np.testing.assert_allclose(
+        float(energy_density(AL, C, h)), float(iMPS([A]).energy(h)), atol=1e-10
+    )
+
+
+def test_ground_state_is_stationary():
+    """On the variational GS the physical tangent dAC - AL dC vanishes
+    (up to the optimizer's own convergence)."""
+    h = tfim(1.0).to_matrix()
+    gs = find_ground_state(tfim(1.0), D=2, ansatz="suN", method="lbfgs", steps=200)
+    AL, AR, C = mixed_gauge(gs.A)
+    dAC, dC, e = dAC_dC_dt(AL, AR, C, h)
+    proj = dAC - jnp.einsum("sij,jk->sik", AL, dC)
+    assert float(jnp.linalg.norm(proj)) < 5e-3
+
+
+def test_energy_conserved_along_flow(key):
+    h = tfim(1.0).to_matrix()
+    AL, AR, C = mixed_gauge(iMPS.random(key, 2, 4)[0])
+    es = []
+    for _ in range(40):
+        AL, C, e = tdvp_step(AL, C, h, 0.005)
+        es.append(float(e))
+    assert abs(es[-1] - es[0]) < 5e-3
+
+
+def test_gauge_preserved_along_flow(key):
+    h = tfim(0.7).to_matrix()
+    AL, AR, C = mixed_gauge(iMPS.random(key, 2, 4)[0])
+    for _ in range(10):
+        AL, C, _ = tdvp_step(AL, C, h, 0.01)
+    gauge = sum(np.asarray(AL[s]).conj().T @ np.asarray(AL[s]) for s in range(2))
+    np.testing.assert_allclose(gauge, np.eye(4), atol=1e-9)
+
+
+@pytest.mark.slow
+def test_quench_loschmidt_vs_exact_rate():
+    """TFIM quench g 1.5 -> 0.2 at D=8: the classical-TDVP rate function
+    matches the free-fermion oracle through the dynamical phase transition
+    (reference baseline: qmps/loschmidts/mps_loschmidts.py + exact_loschmidt)."""
+    gs0 = find_ground_state(tfim(1.5), D=8, ansatz="suN", method="lbfgs", steps=400)
+    traj = Trajectory(gs0.A, tfim(0.2).to_matrix()).eulerint(1.2, 1200)
+    rates = -np.log(np.asarray(traj.loschmidts()))
+    ts = np.linspace(1.2 / 1200, 1.2, 1200)
+    sel = slice(149, None, 150)
+    exact = np.array([float(loschmidt_rate(t, 1.5, 0.2)) for t in ts[sel]])
+    assert np.max(np.abs(rates[sel] - exact)) < 5e-3
+
+
+def test_dA_dt_gauge_condition(key):
+    """The returned tangent respects the left-gauge condition
+    sum_s AL_s^dag B_s r ~ traceless-ish: check the weaker property that
+    euler-stepping with dA_dt preserves the norm to O(dt^2)."""
+    h = tfim(1.0).to_matrix()
+    A = iMPS.random(key, 2, 2).left_canonicalise()[0]
+    B = dA_dt(A, h)
+    dt = 1e-3
+    A2 = A + dt * B
+    n = iMPS([A2]).overlap(iMPS([A2]))
+    np.testing.assert_allclose(float(n), 1.0, atol=1e-6)
