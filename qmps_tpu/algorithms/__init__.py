@@ -1,5 +1,9 @@
 from .ground_state import (  # noqa: F401
     GroundStateResult,
+    GuessInitialFullParameterOptimizer,
+    NoisyNonSparseFullEnergyOptimizer,
+    NoisySparseFullEnergyOptimizer,
+    NoisySparseSampledEnergyOptimizer,
     NonSparseFullEnergyOptimizer,
     NonSparseFullTwoSiteEnergyOptimizer,
     SparseFullEnergyOptimizer,

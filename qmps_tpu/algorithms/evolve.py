@@ -153,6 +153,80 @@ def compile_state_to_ansatz(
     return run(p0)
 
 
+class NoisyMPSTimeEvolve(MPSTimeEvolve):
+    """TDVP stepper whose inner objective is the depolarizing-noise
+    density-matrix amplitude (scripts/loschmidt.py:241-277 noisy_obj),
+    with exact gradients through the channel."""
+
+    def __init__(self, H, dt: float, depolarizing_prob: float, **kw):
+        self.p_noise = depolarizing_prob
+        super().__init__(H, dt, **kw)
+
+    def _build_step(self):
+        import optax
+
+        from ..objectives.noise import noisy_tdvp_objective
+
+        gate, W, inner, lr, p = self.gate, self.W, self.inner_steps, self.lr, self.p_noise
+        opt = optax.adam(lr)
+
+        def loss(pp, A):
+            B = unitary_to_tensor(gate(pp))
+            return noisy_tdvp_objective(A, B, W, p)
+
+        vg = jax.value_and_grad(loss)
+
+        @jax.jit
+        def step(params):
+            A = unitary_to_tensor(gate(params))
+
+            def inner_step(carry, _):
+                pp, s = carry
+                v, g = vg(pp, A)
+                up, s = opt.update(g, s)
+                return (optax.apply_updates(pp, up), s), v
+
+            (pp, _), hist = jax.lax.scan(
+                inner_step, (params, opt.init(params)), None, length=inner
+            )
+            return pp, hist[-1]
+
+        return step
+
+
+def noisy_loschmidt_echo_run(
+    g0: float,
+    g1: float,
+    t_max: float,
+    n_steps: int,
+    noise_levels,
+    inner_steps: int = 80,
+    gs_steps: int = 300,
+    key=None,
+):
+    """The reference's production noise sweep (scripts/loschmidt.py:335-382):
+    one quench trajectory per depolarizing probability.  Returns
+    (times, rates[len(noise), n_steps])."""
+    from .ground_state import find_ground_state
+
+    H0 = Hamiltonian({"ZZ": -1.0, "X": g0})
+    H1 = Hamiltonian({"ZZ": -1.0, "X": g1})
+    gs = find_ground_state(H0, D=2, ansatz="full15", method="lbfgs", steps=gs_steps, key=key)
+
+    dt = t_max / n_steps
+    rates = []
+    for p in noise_levels:
+        stepper = (
+            MPSTimeEvolve(H1, dt, inner_steps=inner_steps)
+            if p == 0
+            else NoisyMPSTimeEvolve(H1, dt, p, inner_steps=inner_steps)
+        )
+        rec = stepper.evolve(gs.params, n_steps)
+        rates.append(-jnp.log(rec.loschmidt))
+    times = jnp.arange(1, n_steps + 1) * dt
+    return times, jnp.stack(rates)
+
+
 def loschmidt_echo_run(
     g0: float,
     g1: float,

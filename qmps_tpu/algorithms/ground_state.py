@@ -203,6 +203,119 @@ class SparseFullEnergyOptimizer(_OptimizerBase):
             self.U = self.build(self.optimized_result.x)
 
 
+class NoisyNonSparseFullEnergyOptimizer(_OptimizerBase):
+    """Full 15-param SU(4) state under per-moment depolarizing noise, exact
+    environment (qmps/ground_state.py:337-418) — density-matrix semantics,
+    gradient-optimizable in both params and noise strength."""
+
+    def __init__(self, H, depolarizing_prob: float, initial_guess=None, key=None):
+        super().__init__()
+        self.h = H.to_matrix() if isinstance(H, Hamiltonian) else jnp.asarray(H)
+        self.p_noise = depolarizing_prob
+        if initial_guess is None:
+            key = jax.random.PRNGKey(0) if key is None else key
+            initial_guess = jax.random.normal(key, (15,)) * 0.5
+        self.initial_guess = jnp.asarray(initial_guess)
+
+    def objective_function(self, params):
+        from ..circuits.ansatze import shallow_full_state, shallow_full_state_ops
+        from ..env.exact import get_env_exact
+        from ..objectives.noise import noisy_energy
+
+        ops, n = shallow_full_state_ops(params)
+        V = get_env_exact(shallow_full_state(params))
+        return noisy_energy(ops, n, V, self.h, self.p_noise)
+
+
+class NoisySparseFullEnergyOptimizer(_OptimizerBase):
+    """Shallow-ansatz state under depolarizing noise
+    (qmps/ground_state.py:420-480)."""
+
+    def __init__(
+        self, H, depolarizing_prob: float, D: int = 2, depth: int = 2,
+        ansatz: str = "cnot", initial_guess=None, key=None,
+    ):
+        super().__init__()
+        self.h = H.to_matrix() if isinstance(H, Hamiltonian) else jnp.asarray(H)
+        self.p_noise = depolarizing_prob
+        self.D = D
+        self.ansatz = ansatz
+        if initial_guess is None:
+            key = jax.random.PRNGKey(0) if key is None else key
+            initial_guess = jax.random.normal(key, (n_params(ansatz, D, depth),)) * 0.5
+        self.initial_guess = jnp.asarray(initial_guess)
+
+    def objective_function(self, params):
+        from ..circuits.ansatze import STATE_ANSATZE, STATE_ANSATZE_OPS
+        from ..env.exact import get_env_exact
+        from ..objectives.noise import noisy_energy
+
+        ops, n = STATE_ANSATZE_OPS[self.ansatz](self.D, params)
+        V = get_env_exact(STATE_ANSATZE[self.ansatz](self.D, params))
+        return noisy_energy(ops, n, V, self.h, self.p_noise)
+
+
+class NoisySparseSampledEnergyOptimizer(_OptimizerBase):
+    """Noise + finite shots (a working version of the reference's
+    unfinished qmps/ground_state.py:482-526): the energy is measured
+    Pauli-string-by-Pauli-string on the noisy state with ``n_samples``
+    shots.  Shot noise makes the objective stochastic — pair with the
+    scipy Nelder-Mead bridge or rotosolve, as the reference intended."""
+
+    def __init__(
+        self, H: Hamiltonian, depolarizing_prob: float = 0.0, D: int = 2,
+        depth: int = 2, ansatz: str = "cnot", n_samples: int = 10000,
+        initial_guess=None, key=None,
+    ):
+        super().__init__()
+        assert isinstance(H, Hamiltonian), "needs the Pauli strings to measure"
+        self.H = H
+        self.p_noise = depolarizing_prob
+        self.D = D
+        self.ansatz = ansatz
+        self.n_samples = n_samples
+        self.key = jax.random.PRNGKey(17) if key is None else key
+        if initial_guess is None:
+            initial_guess = jax.random.normal(self.key, (n_params(ansatz, D, depth),)) * 0.5
+        self.initial_guess = jnp.asarray(initial_guess)
+        self.settings["method"] = "Nelder-Mead"
+
+    def objective_function(self, params):
+        from ..circuits.ansatze import STATE_ANSATZE, STATE_ANSATZE_OPS
+        from ..env.exact import get_env_exact
+        from ..env.variational import state_circuit_psi
+        from ..objectives.sampling import measure_energy
+
+        # new shot noise every evaluation, like hardware would give
+        self.key, sub = jax.random.split(self.key)
+        U = STATE_ANSATZE[self.ansatz](self.D, params)
+        V = get_env_exact(U)
+        psi = state_circuit_psi(U, V, 2)
+        return measure_energy(sub, self.H.strings, psi, qubits=(1, 2), shots=self.n_samples)
+
+
+class GuessInitialFullParameterOptimizer(_OptimizerBase):
+    """Compile a target 2-qubit unitary into the U4 parametrization by
+    maximizing the Loschmidt-style overlap (qmps/tools.py:287-305), with
+    gradients instead of the reference's 4-qubit swap circuit."""
+
+    def __init__(self, target_U, initial_guess=None, key=None):
+        super().__init__()
+        self.target = jnp.asarray(target_U)
+        if initial_guess is None:
+            key = jax.random.PRNGKey(0) if key is None else key
+            initial_guess = jax.random.normal(key, (15,)) * 0.3
+        self.initial_guess = jnp.asarray(initial_guess)
+
+    def objective_function(self, params):
+        from ..core.lie import U4
+
+        U = U4(params)
+        # 1 - |tr(target^dag U)/4|^2: phase-insensitive distance
+        ov = jnp.trace(self.target.conj().T @ U) / 4.0
+        return 1.0 - jnp.abs(ov) ** 2
+
+
 class NonSparseFullTwoSiteEnergyOptimizer(_OptimizerBase):
     """2-site unit cell, two SU(4)s, averaged two-bond energy
     (qmps/ground_state.py:271-335)."""

@@ -167,3 +167,60 @@ def classical_poincare_sweep(keys_or_y0s, ts, mu: float):
     2body_scars.py:14)."""
     y0s = jnp.asarray(keys_or_y0s)
     return jax.vmap(lambda y0: classical_trajectory(y0, ts, mu))(y0s)
+
+
+def constant_energy_initial_conditions(
+    key, n: int, mu: float, target_e: float, steps: int = 300, lr: float = 5e-2
+):
+    """Batch of angle 4-vectors on the <H(mu)> = target_e shell
+    (2body_scars.py:409-454): random starts, gradient-projected onto the
+    energy surface (replacing the reference's per-point scipy solves)."""
+
+    def shell_loss(p):
+        return (scars_energy(p, mu) - target_e) ** 2
+
+    import optax
+
+    opt = optax.adam(lr)
+
+    def project(p0):
+        def step(carry, _):
+            p, s = carry
+            g = jax.grad(shell_loss)(p)
+            up, s = opt.update(g, s)
+            return (optax.apply_updates(p, up), s), None
+
+        (p, _), _ = jax.lax.scan(step, (p0, opt.init(p0)), None, length=steps)
+        return p
+
+    p0s = jax.random.uniform(key, (n, 4), minval=0.1, maxval=2 * jnp.pi - 0.1)
+    return jax.jit(jax.vmap(project))(p0s)
+
+
+def quantum_poincare_sweep(y0s, mu: float, dt: float, n_steps: int, inner_steps: int = 120):
+    """Ensemble of *quantum* TDVP trajectories, the vmapped analogue of the
+    reference's joblib sweep over initial conditions: each outer step runs
+    the warm-started inner optimization for the whole batch at once."""
+    import optax
+
+    W = scars_W(mu, 4.0 * dt)
+    opt = optax.adam(2e-2)
+    vg = jax.value_and_grad(scars_cost)
+
+    def one_step(params):
+        def inner(carry, _):
+            p, s = carry
+            v, g = vg(p, params, W)
+            up, s = opt.update(g, s)
+            return (optax.apply_updates(p, up), s), v
+
+        (p, _), _ = jax.lax.scan(inner, (params, opt.init(params)), None, length=inner_steps)
+        return p
+
+    batch_step = jax.jit(jax.vmap(one_step))
+    ps = jnp.asarray(y0s, jnp.float64)
+    traj = [jnp.mod(ps, 2 * jnp.pi)]
+    for _ in range(n_steps - 1):
+        ps = batch_step(ps)
+        traj.append(jnp.mod(ps, 2 * jnp.pi))
+    return jnp.stack(traj, axis=1)  # (batch, n_steps, 4)

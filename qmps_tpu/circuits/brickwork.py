@@ -50,6 +50,28 @@ def env_M(params):
     return Zg(b) @ Xg(c) @ Zg(d) @ D3(a) @ Xg(e) @ Zg(f)
 
 
+def _planned_path(operands, out):
+    """Exact minimal-flop contraction order from the native DP planner
+    (qmps_tpu/native), with a greedy fallback."""
+    try:
+        from ..native import optimal_einsum_path
+
+        dims = {i: 2 for t in operands for i in t}
+        p = optimal_einsum_path([list(t) for t in operands], dims, list(out))
+        return p[1:] if isinstance(p, list) else p
+    except Exception:
+        return "greedy"
+
+
+_MANIFOLD_OPS = [
+    [6, 7, 26, 27], [8, 9, 28, 29], [10, 11, 30, 31], [27, 28, 22, 23],
+    [29, 30, 24, 25], [22, 23, 24, 25, 18, 19, 20, 21], [26, 12], [31, 17],
+    [18, 19, 13, 14], [20, 21, 15, 16], [12, 13, 0, 1], [14, 15, 2, 3],
+    [16, 17, 4, 5],
+]
+_MANIFOLD_PATH = _planned_path(_MANIFOLD_OPS, range(12))
+
+
 def _t(U):
     return U.reshape(2, 2, 2, 2)
 
@@ -161,7 +183,7 @@ def manifold_overlap(U1, U2, U1d, U2d, Mr, Ml, W) -> jnp.ndarray:
         _t(U2), [14, 15, 2, 3],
         _t(U2), [16, 17, 4, 5],
         [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11],
-        optimize='greedy',
+        optimize=_MANIFOLD_PATH,
     )
     return out[0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 

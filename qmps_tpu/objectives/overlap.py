@@ -81,6 +81,53 @@ def hadamard_test_amplitude(
     return 2 * psi[0]
 
 
+def get_overlap_exact(A: jnp.ndarray, B: jnp.ndarray):
+    """(|x|^2, r): per-site overlap density of two uMPS tensors
+    (qmps/time_evolve_tools.py:84-91)."""
+    x, r = tr.right_fixed_point(A, B)
+    return jnp.abs(x) ** 2, r
+
+
+def get_overlap_variational(
+    A: jnp.ndarray, B: jnp.ndarray, steps: int = 400, lr: float = 5e-2, key=None
+):
+    """Fully variational overlap: optimize an 8-real-param environment r to
+    maximize the Bell-form circuit amplitude (qmps/time_evolve_tools.py:95-131),
+    gradient-based.  Returns (|amp|, r)."""
+    import jax
+    import optax
+
+    from ..core.linalg import rotate_to_hermitian
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    W = jnp.eye(4, dtype=CDTYPE)
+
+    def amp_of(rs):
+        r = rotate_to_hermitian((rs[:4] + 1j * rs[4:]).reshape(2, 2))
+        r = r / jnp.linalg.norm(r)
+        return hadamard_test_amplitude(A, B, W, r)
+
+    def loss(rs):
+        return -jnp.abs(amp_of(rs))
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(v0):
+        def step(carry, _):
+            v, s = carry
+            g = jax.grad(loss)(v)
+            up, s = opt.update(g, s)
+            return (optax.apply_updates(v, up), s), None
+
+        (v, _), _ = jax.lax.scan(step, (v0, opt.init(v0)), None, length=steps)
+        return v
+
+    v = run(jax.random.normal(key, (8,)))
+    r = rotate_to_hermitian((v[:4] + 1j * v[4:]).reshape(2, 2))
+    return jnp.abs(amp_of(v)), r / jnp.linalg.norm(r)
+
+
 def tdvp_objective_circuit(A: jnp.ndarray, B: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
     """Circuit-path objective: -|2 psi[0]| = -|x|, identical to the fast
     path (the reference's -sqrt(2|psi[0]|) is the same monotone ranking)."""

@@ -1,0 +1,152 @@
+"""Coverage tests for the remaining capability-checklist items: noisy and
+sampled optimizers, overlap helpers, state compilation, finite-depth
+states, quantum Poincare batch step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qmps_tpu.algorithms import (
+    GuessInitialFullParameterOptimizer,
+    NoisyNonSparseFullEnergyOptimizer,
+    NoisySparseFullEnergyOptimizer,
+    NoisySparseSampledEnergyOptimizer,
+)
+from qmps_tpu.algorithms.evolve import NoisyMPSTimeEvolve
+from qmps_tpu.core.lie import U4
+from qmps_tpu.ham import tfim, tfim_gs_energy
+from qmps_tpu.mps.imps import iMPS
+from qmps_tpu.objectives.overlap import get_overlap_exact, get_overlap_variational
+
+
+class TestNoisyOptimizers:
+    def test_zero_noise_matches_noiseless(self):
+        """prob = 0 noisy optimizer == noiseless objective value
+        (tests/test_ground_state.py:135-148)."""
+        from qmps_tpu.circuits.ansatze import shallow_full_state
+        from qmps_tpu.objectives.energy import energy_exact_env
+
+        p = jax.random.normal(jax.random.PRNGKey(2), (15,)) * 0.4
+        opt = NoisyNonSparseFullEnergyOptimizer(tfim(1.0), 0.0, initial_guess=p)
+        e_noisy = float(opt.objective_function(p))
+        e_clean = float(energy_exact_env(shallow_full_state(p), tfim(1.0).to_matrix()))
+        np.testing.assert_allclose(e_noisy, e_clean, atol=1e-9)
+
+    def test_noisy_optimization_converges_above_exact(self):
+        """p = 1e-3 per qubit per moment over ~21 moments: a noise floor of
+        order 0.1 above the exact energy, like the reference's noisy runs."""
+        opt = NoisyNonSparseFullEnergyOptimizer(tfim(1.0), 1e-3)
+        opt.change_settings({"method": "adam", "maxiter": 300})
+        res = opt.optimize()
+        e_exact = float(tfim_gs_energy(1.0))
+        assert res.fun > e_exact  # noise floor
+        assert res.fun < e_exact + 0.25
+
+    def test_sparse_noisy_optimizer_smoke(self):
+        opt = NoisySparseFullEnergyOptimizer(tfim(1.0), 1e-3, depth=2)
+        v = float(opt.objective_function(opt.initial_guess))
+        assert np.isfinite(v)
+
+    def test_sampled_optimizer_objective_tracks_exact(self):
+        opt = NoisySparseSampledEnergyOptimizer(tfim(1.0), n_samples=200000, depth=2)
+        from qmps_tpu.circuits.ansatze import shallow_cnot_state
+        from qmps_tpu.objectives.energy import energy_exact_env
+
+        p = opt.initial_guess
+        e_sampled = float(opt.objective_function(p))
+        e_exact = float(
+            energy_exact_env(shallow_cnot_state(2, p), tfim(1.0).to_matrix())
+        )
+        assert abs(e_sampled - e_exact) < 5e-2
+
+
+class TestOverlapHelpers:
+    def test_variational_overlap_self(self, key):
+        """B = A: the fixed point is hermitian PSD, so the hermitian-r
+        variational family (the reference's parametrization,
+        time_evolve_tools.py:107-108) is exact: amp -> 1."""
+        A = iMPS.random(key, 2, 2).left_canonicalise()[0]
+        amp, r_v = get_overlap_variational(A, A, steps=600)
+        # the variational max is >= the eigenvector value 1; because the
+        # transfer operator is non-normal the quadratic form can overshoot
+        # slightly (the reference's objective shares this: it prints, never
+        # asserts, the comparison in time_evolve_tools.__main__)
+        assert 1.0 - 1e-6 <= float(amp) < 1.3
+
+    def test_variational_overlap_mixed(self, key):
+        """A != B: the mixed fixed point is generally NOT hermitian, so the
+        hermitian-restricted variational amp approximates (from either
+        side) but tracks |x|^2; assert the reference-level agreement band."""
+        A = iMPS.random(key, 2, 2).left_canonicalise()[0]
+        B = iMPS.random(jax.random.fold_in(key, 1), 2, 2).left_canonicalise()[0]
+        ov2, r = get_overlap_exact(A, B)
+        amp, _ = get_overlap_variational(A, B, steps=600)
+        assert 0.5 * float(ov2) < float(amp) ** 2 < 2.0 * float(ov2) + 0.2
+
+
+class TestStateCompilation:
+    def test_guess_initial_full_parameter(self, key):
+        from qmps_tpu.core.linalg import random_unitary
+
+        target = random_unitary(key, 4)
+        opt = GuessInitialFullParameterOptimizer(target)
+        opt.change_settings({"method": "adam", "maxiter": 600})
+        res = opt.optimize()
+        assert res.fun < 1e-4  # |tr overlap| ~ 1
+
+
+class TestFiniteDepth:
+    def test_staircase_state_normalized(self, key):
+        from qmps_tpu.circuits.finite_depth import real_ansatz, staircase_state
+
+        U = real_ansatz(jax.random.normal(key, (4,)))
+        for depth in (2, 3):
+            psi = staircase_state(U, depth=depth)
+            np.testing.assert_allclose(float(jnp.linalg.norm(psi)), 1.0, atol=1e-10)
+
+    def test_central_expectation_identity_brick(self):
+        from qmps_tpu.circuits.finite_depth import central_expectation, staircase_state
+        from qmps_tpu.core.paulis import Z
+
+        psi = staircase_state(jnp.eye(4, dtype=jnp.complex128), depth=2)
+        e = float(central_expectation(psi, -jnp.kron(Z, Z)))
+        np.testing.assert_allclose(e, -1.0, atol=1e-10)
+
+    def test_local_vs_global_overlap(self, key):
+        from qmps_tpu.circuits.finite_depth import local_global_overlap, real_ansatz
+
+        U1 = real_ansatz(jax.random.normal(key, (4,)) * 0.3)
+        U2 = real_ansatz(jax.random.normal(key, (4,)) * 0.3 + 0.05)
+        loc, glob = local_global_overlap(U1, U2, depth=2)
+        # local fidelity always >= global fidelity
+        assert float(loc) >= float(glob) - 1e-9
+        l_self, g_self = local_global_overlap(U1, U1, depth=2)
+        np.testing.assert_allclose(float(g_self), 1.0, atol=1e-9)
+
+    def test_grow_staircase(self, key):
+        from qmps_tpu.circuits.finite_depth import grow_staircase, real_ansatz
+
+        U = real_ansatz(jax.random.normal(key, (4,)))
+        W = jnp.eye(4, dtype=jnp.complex128)
+        psi = grow_staircase(U, W, depth=2)
+        np.testing.assert_allclose(float(jnp.linalg.norm(psi)), 1.0, atol=1e-10)
+
+
+class TestNoisyEvolution:
+    def test_noisy_stepper_runs(self):
+        from qmps_tpu.algorithms import find_ground_state
+
+        gs = find_ground_state(tfim(1.0), D=2, ansatz="full15", method="lbfgs", steps=80)
+        ev = NoisyMPSTimeEvolve(tfim(1.0), dt=0.05, depolarizing_prob=1e-3, inner_steps=30)
+        rec = ev.evolve(gs.params, 2)
+        assert np.all(np.isfinite(np.asarray(rec.loschmidt)))
+
+
+class TestQuantumPoincare:
+    def test_batched_quantum_step(self):
+        from qmps_tpu.algorithms.scars import quantum_poincare_sweep
+
+        y0s = jnp.array([[0.6, 0.9, 1.1, 0.4], [0.5, 1.0, 1.2, 0.3]])
+        traj = quantum_poincare_sweep(y0s, 0.325, 0.05, 3, inner_steps=60)
+        assert traj.shape == (2, 3, 4)
+        assert np.all(np.isfinite(np.asarray(traj)))
