@@ -1,0 +1,39 @@
+"""TFIM phase diagram as one sharded XLA program (BASELINE config 4).
+
+Run:  python examples/phase_diagram.py          (uses all local devices)
+      XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+          python examples/phase_diagram.py      (8-way virtual CPU mesh)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qmps_tpu.ham import tfim_gs_energy
+from qmps_tpu.parallel import make_mesh, sweep_ground_states
+
+
+def main():
+    n_dev = len(jax.devices())
+    n_points = 64 * max(1, n_dev)
+    gs = jnp.linspace(0.1, 2.0, n_points)
+    mesh = make_mesh() if n_dev > 1 else None
+    t0 = time.perf_counter()
+    es, _ = sweep_ground_states(gs, D=2, steps=300, mesh=mesh)
+    es.block_until_ready()
+    dt = time.perf_counter() - t0
+    exact = np.asarray(tfim_gs_energy(gs))
+    err = np.asarray(es) - exact
+    print(f"{n_points} ground states on {n_dev} device(s) in {dt:.2f}s "
+          f"({n_points/dt:.1f} opts/s)")
+    print(f"max error vs exact integral: {err.max():.2e}; "
+          f"all above exact: {bool((err > -1e-8).all())}")
+
+
+if __name__ == "__main__":
+    main()
