@@ -44,6 +44,11 @@ import jax
 if os.environ.get("QMPS_TPU_X64", "1") == "1":
     jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to bfloat16 passes; repeated-squaring fixed points and
+# Lie exponentials need full f32 accumulation (measured: O(1) energy errors
+# in the phase-diagram sweep without this).
+jax.config.update("jax_default_matmul_precision", "highest")
+
 __version__ = "0.1.0"
 
 from . import config  # noqa: E402,F401

@@ -23,6 +23,15 @@ else:
     CDTYPE = jnp.complex64
     RDTYPE = jnp.float32
 
+# numpy twins for module-level constants.  Constants MUST be host numpy
+# arrays, not device arrays: the axon TPU backend cannot transfer complex
+# arrays device->host, so a jit that closure-captures a device constant
+# fails at trace time; numpy constants embed directly into the HLO.
+import numpy as _np  # noqa: E402
+
+NP_CDTYPE = _np.complex128 if jax.config.jax_enable_x64 else _np.complex64
+NP_RDTYPE = _np.float64 if jax.config.jax_enable_x64 else _np.float32
+
 #: TPU hot-path dtype.
 FAST_CDTYPE = jnp.complex64
 FAST_RDTYPE = jnp.float32

@@ -13,21 +13,24 @@ Reference ansatz circuits: qmps/represent.py:268-442, experiments/Jamie.py.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-from ..config import CDTYPE
+from ..config import CDTYPE, NP_CDTYPE
 from .paulis import I2, X, Y, Z, kron_all
 
-H = jnp.array([[1, 1], [1, -1]], dtype=CDTYPE) / jnp.sqrt(2.0)
-S = jnp.array([[1, 0], [0, 1j]], dtype=CDTYPE)
-S_DAG = jnp.array([[1, 0], [0, -1j]], dtype=CDTYPE)
-T = jnp.array([[1, 0], [0, jnp.exp(1j * jnp.pi / 4)]], dtype=CDTYPE)
+# host numpy constants (see config.py: device constants cannot be captured
+# into jits on backends without complex device->host transfer)
+H = np.array([[1, 1], [1, -1]], dtype=NP_CDTYPE) / np.sqrt(2.0)
+S = np.array([[1, 0], [0, 1j]], dtype=NP_CDTYPE)
+S_DAG = np.array([[1, 0], [0, -1j]], dtype=NP_CDTYPE)
+T = np.array([[1, 0], [0, np.exp(1j * np.pi / 4)]], dtype=NP_CDTYPE)
 
-CNOT = jnp.array(
-    [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=CDTYPE
+CNOT = np.array(
+    [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=NP_CDTYPE
 )
-CZ = jnp.diag(jnp.array([1, 1, 1, -1], dtype=CDTYPE))
-SWAP = jnp.array(
-    [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]], dtype=CDTYPE
+CZ = np.diag(np.array([1, 1, 1, -1], dtype=NP_CDTYPE))
+SWAP = np.array(
+    [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]], dtype=NP_CDTYPE
 )
 
 
@@ -116,5 +119,13 @@ def iswap_pow(t):
     return U
 
 
-SQRT_ISWAP = iswap_pow(0.5)
-SQRT_ISWAP_INV = iswap_pow(-0.5)
+def _np_iswap_pow(t):
+    c, s_ = np.cos(np.pi * t / 2), np.sin(np.pi * t / 2)
+    U = np.eye(4, dtype=NP_CDTYPE)
+    U[1, 1] = U[2, 2] = c
+    U[1, 2] = U[2, 1] = 1j * s_
+    return U
+
+
+SQRT_ISWAP = _np_iswap_pow(0.5)
+SQRT_ISWAP_INV = _np_iswap_pow(-0.5)

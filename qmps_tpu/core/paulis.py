@@ -10,13 +10,16 @@ from functools import reduce
 from typing import Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
-from ..config import CDTYPE
+from ..config import NP_CDTYPE
 
-I2 = jnp.eye(2, dtype=CDTYPE)
-X = jnp.array([[0, 1], [1, 0]], dtype=CDTYPE)
-Y = jnp.array([[0, -1j], [1j, 0]], dtype=CDTYPE)
-Z = jnp.array([[1, 0], [0, -1]], dtype=CDTYPE)
+# host numpy constants (device constants can't be captured into jits on
+# backends without complex device->host transfer; see config.py)
+I2 = np.eye(2, dtype=NP_CDTYPE)
+X = np.array([[0, 1], [1, 0]], dtype=NP_CDTYPE)
+Y = np.array([[0, -1j], [1j, 0]], dtype=NP_CDTYPE)
+Z = np.array([[1, 0], [0, -1]], dtype=NP_CDTYPE)
 
 #: single-qubit Pauli dict used by the Hamiltonian string builder
 #: (reference: qmps/ground_state.py:29-30).

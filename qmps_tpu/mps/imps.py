@@ -193,6 +193,13 @@ class iMPS:
     def energy(self, h: jnp.ndarray) -> jnp.ndarray:
         return self.E2(h).real
 
+    def dA_dt(self, h: jnp.ndarray) -> jnp.ndarray:
+        """TDVP tangent vector for this state under the two-site Hamiltonian
+        h (xmps iMPS.dA_dt analogue; see mps.tdvp)."""
+        from .tdvp import dA_dt as _dA_dt
+
+        return _dA_dt(self.blocked, h)
+
     def overlap(self, other: "iMPS") -> jnp.ndarray:
         """|<psi_A|psi_B>|^2 per site = |dominant eig of the mixed transfer
         operator|^2, both states canonicalized (xmps overlap semantics as used

@@ -118,6 +118,23 @@ def noisy_tdvp_amplitude(
     return rho[0, 0].real
 
 
+def noisy_sampled_tdvp_objective(A, B, W, p: float, key, shots: int = 5000) -> jnp.ndarray:
+    """Noise + finite shots (scripts/loschmidt.py:279-318 noisy_sampled_obj):
+    estimate P(|0...0>) of the noisy circuit from ``shots`` measurements,
+    return -sqrt(2 sqrt(p0_hat))."""
+    from ..mps import transfer as tr
+    from .overlap import mixed_transfer_with_gate
+    from .sampling import sampled_noisy_p0
+
+    WAA, BB = mixed_transfer_with_gate(A, B, W)
+    _, r = tr.right_fixed_point(WAA, BB)
+    rho00 = noisy_tdvp_amplitude(A, B, W, r, p)
+    import jax
+
+    p0_hat = sampled_noisy_p0(key, jnp.array([[rho00]], CDTYPE), shots)
+    return -jnp.sqrt(2.0 * jnp.sqrt(jnp.maximum(p0_hat, 0.0)))
+
+
 def noisy_tdvp_objective(A, B, W, p: float) -> jnp.ndarray:
     """-sqrt(2 sqrt(P0)): the noisy Loschmidt TDVP cost
     (scripts/loschmidt.py:276-277 up to the monotone sqrt)."""

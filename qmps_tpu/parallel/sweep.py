@@ -46,6 +46,9 @@ def _optimize_one(g, p0, build, steps: int, lr: float):
     return loss(p), p
 
 
+_SWEEP_CACHE: dict = {}
+
+
 def sweep_ground_states(
     gs: jnp.ndarray,
     D: int = 2,
@@ -77,20 +80,24 @@ def sweep_ground_states(
     key = jax.random.PRNGKey(0) if key is None else key
     p0s = jax.random.normal(key, (gs.shape[0], n_params)) * 0.5
 
-    f = jax.vmap(lambda g, p0: _optimize_one(g, p0, build, steps, lr))
+    # cache the compiled program: rebuilding the closure every call would
+    # re-trace and re-compile (expensive through the TPU remote compiler)
+    cache_key = (D, ansatz, steps, lr, mesh)
+    fn = _SWEEP_CACHE.get(cache_key)
+    if fn is None:
+        f = jax.vmap(lambda g, p0: _optimize_one(g, p0, build, steps, lr))
+        if mesh is not None:
+            from jax import shard_map
 
-    if mesh is None:
-        return jax.jit(f)(gs, p0s)
-
-    from jax import shard_map
-
-    sharded = shard_map(
-        f,
-        mesh=mesh,
-        in_specs=(P("sweep"), P("sweep")),
-        out_specs=(P("sweep"), P("sweep")),
-    )
-    return jax.jit(sharded)(gs, p0s)
+            f = shard_map(
+                f,
+                mesh=mesh,
+                in_specs=(P("sweep"), P("sweep")),
+                out_specs=(P("sweep"), P("sweep")),
+            )
+        fn = jax.jit(f)
+        _SWEEP_CACHE[cache_key] = fn
+    return fn(gs, p0s)
 
 
 def phase_diagram_sweep(

@@ -44,7 +44,7 @@ def test_power_kernel_padding(key):
     """Batch not a multiple of the tile: identity padding is dropped."""
     B = 5
     E = np.asarray(physical_batch(B, key)).astype(np.complex64)
-    lam, v = dominant_eig_batched(jnp.asarray(E), iters=96, tile=1024, interpret=True)
+    lam, v = dominant_eig_batched(jnp.asarray(E), iters=96, interpret=True)
     assert lam.shape == (B,)
     for b in range(B):
         w = np.linalg.eigvals(E[b].astype(np.complex128))
