@@ -26,9 +26,16 @@ def _gl_nodes(n: int = 256):
     return k, w
 
 
+import jax
+
+
+@jax.jit
 def tfim_gs_energy(g) -> jnp.ndarray:
-    """E0 per site of H = -ZZ + g X:  -(1/pi) Int_0^pi sqrt(1+g^2-2g cos k) dk."""
-    k, w = _gl_nodes()
+    """E0 per site of H = -ZZ + g X:  -(1/pi) Int_0^pi sqrt(1+g^2-2g cos k) dk.
+
+    jitted: per-op eager dispatch is pathologically slow through this TPU
+    backend's remote compiler."""
+    k, w = (jnp.asarray(x) for x in _gl_nodes())
     g = jnp.asarray(g)
     eps = jnp.sqrt(1.0 + g[..., None] ** 2 - 2.0 * g[..., None] * jnp.cos(k))
     return -(eps * w).sum(-1) / jnp.pi
@@ -53,6 +60,7 @@ def _f(z, g0, g1) -> jnp.ndarray:
     return (integrand * w).sum(-1)
 
 
+@jax.jit
 def loschmidt_rate(t, g0, g1) -> jnp.ndarray:
     """Exact rate function lambda(t) = f(it) + f(-it) of the Loschmidt echo
     after a g0 -> g1 quench."""

@@ -34,6 +34,22 @@ class Hamiltonian:
             h = h + J * kron_all([PAULI[j] for j in js])
         return h
 
+    def measure_energy(self, key, psi, qubits=(1, 2), shots: int = 300000):
+        """Finite-shot Pauli-string energy estimate on a prepared state
+        (reference qmps/ground_state.py:97-108)."""
+        from ..objectives.sampling import measure_energy as _me
+
+        return _me(key, self.strings, psi, qubits=qubits, shots=shots)
+
+    def calculate_energy(self, psi, loc: int = 1):
+        """Exact <H> on adjacent qubits (loc, loc+1) of a prepared state
+        (reference qmps/ground_state.py:110-118)."""
+        from ..core.paulis import embed
+
+        n = int(psi.shape[0]).bit_length() - 1
+        H = embed(self.to_matrix(), loc, n)
+        return jnp.real(psi.conj() @ (H @ psi))
+
     @classmethod
     def from_matrix(cls, mat) -> "Hamiltonian":
         """Project a 4x4 matrix back onto Pauli strings

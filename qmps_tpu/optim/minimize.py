@@ -94,6 +94,33 @@ def minimize_lbfgs(
     )
 
 
+def retry_until_monotone(
+    run_once: Callable,
+    key,
+    max_tries: int = 3,
+    eps: float = 1e-4,
+    last_best: float = float("inf"),
+):
+    """Numerical fault handling: rerun an optimization with fresh seeds until
+    the result doesn't regress past the previous best (the reference's
+    retry-until-monotone loops, scripts/ground_state_finding.py:139-154,
+    scripts/noisy_optimization.py).
+
+    run_once(key) -> OptResult; returns the best result across tries.
+    """
+    import jax
+
+    best = None
+    for t in range(max_tries):
+        key, sub = jax.random.split(key)
+        res = run_once(sub)
+        if jnp.isfinite(res.fun) and (best is None or res.fun < best.fun):
+            best = res
+        if best is not None and best.fun < last_best + eps:
+            break
+    return best
+
+
 def minimize_scipy(
     loss: Callable,
     x0: jnp.ndarray,

@@ -1,0 +1,113 @@
+"""Riemannian optimization on the isometry (Stiefel) manifold.
+
+For large bond dimension the su(2D) global chart (expm of an
+anti-hermitian parameter vector) becomes the bottleneck and conditions
+badly.  Here the variational object is the MPS isometry itself,
+iso in St(dD, D) = {V : V^dag V = I}: Euclidean gradient -> tangent
+projection -> adam-style step -> polar retraction (SVD), all jittable and
+MXU-shaped (the SVD is on a (dD, D) matrix).
+
+This is the 'Riemannian optimization of unitaries' stage of the build plan
+(SURVEY section 7 B5; the reference's polar trick appears at
+new_tdvp/loschmidt_classical.py:133-136).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.linalg import cT
+
+
+def _project_tangent(V, G):
+    """Project a Euclidean gradient G onto the tangent space of St at V:
+    G - V sym(V^dag G)."""
+    VG = cT(V) @ G
+    sym = (VG + cT(VG)) / 2
+    return G - V @ sym
+
+
+def _retract(V):
+    """Polar retraction back onto the manifold."""
+    u, _, vh = jnp.linalg.svd(V, full_matrices=False)
+    return u @ vh
+
+
+def stiefel_minimize(
+    loss: Callable,
+    V0: jnp.ndarray,
+    steps: int = 300,
+    lr: float = 0.1,
+    momentum: float = 0.9,
+):
+    """Minimize loss(V) over isometries V (orthonormal columns).
+
+    Heavy-ball momentum in the tangent space with polar retraction; the
+    momentum is re-projected after each retraction (vector transport by
+    projection).  Returns (V, history).
+    """
+
+    vg = jax.value_and_grad(lambda V: loss(V), holomorphic=False)
+
+    @jax.jit
+    def run(V0):
+        def step(carry, _):
+            V, M = carry
+            val, G = vg(V)
+            # Wirtinger gradient for real loss of complex V: steepest
+            # descent direction is conj(G)
+            G = G.conj()
+            T = _project_tangent(V, G)
+            M = momentum * M + T
+            V = _retract(V - lr * M)
+            M = _project_tangent(V, M)
+            return (V, M), val
+
+        (V, _), hist = jax.lax.scan(
+            step, (V0, jnp.zeros_like(V0)), None, length=steps
+        )
+        return V, hist
+
+    return run(V0)
+
+
+def ground_state_riemannian(
+    h: jnp.ndarray,
+    D: int,
+    steps: int = 400,
+    lr: float = 0.08,
+    key=None,
+    dense_env_max_D: int = 8,
+    power_iters: int = 120,
+):
+    """Variational uMPS ground state at bond dimension D, optimizing the
+    (d D, D) isometry directly.
+
+    The environment fixed point uses the dense repeated-squaring solver for
+    small D and the matvec power iteration for large D (dense transfer
+    matrices are D^2 x D^2).  Returns (A, energy, history).
+    """
+    from ..mps import transfer as tr
+    from ..mps.imps import merge
+
+    d = 2
+    key = jax.random.PRNGKey(0) if key is None else key
+    k1, k2 = jax.random.split(key)
+    X = jax.random.normal(k1, (d * D, D)) + 1j * jax.random.normal(k2, (d * D, D))
+    V0, _ = jnp.linalg.qr(X.astype(jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64))
+
+    dense = D <= dense_env_max_D
+
+    def energy(V):
+        A = V.reshape(D, d, D).transpose(1, 0, 2)  # iso rows (i, s) -> (s, i, j)
+        _, r = tr.right_fixed_point(A, A, dense=dense, iters=40 if dense else power_iters)
+        r = (r + cT(r)) / 2
+        r = r / jnp.trace(r)
+        A2 = merge(A, A)
+        return jnp.einsum("st,sij,jk,tik->", h.astype(A.dtype), A2, r, A2.conj()).real
+
+    V, hist = stiefel_minimize(energy, V0, steps=steps, lr=lr)
+    A = V.reshape(D, d, D).transpose(1, 0, 2)
+    return A, float(hist[-1]), hist
