@@ -24,7 +24,6 @@ from ..circuits.brickwork import (
     manifold_overlap,
     param_bricks,
 )
-from ..kernels import manifold_overlap_batched
 from ..optim.minimize import OptResult, minimize_adam, minimize_lbfgs
 
 

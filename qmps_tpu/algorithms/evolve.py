@@ -14,7 +14,7 @@ the tree — SURVEY.md section 2.8).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -151,6 +151,83 @@ def compile_state_to_ansatz(
         return p
 
     return run(p0)
+
+
+def batched_quench_sweep(
+    g0: float,
+    g1s,
+    t_max: float,
+    n_steps: int,
+    inner_steps: int = 80,
+    gs_steps: int = 300,
+    lr: float = 3e-2,
+    key=None,
+    mesh=None,
+):
+    """Many quench trajectories as ONE program: vmap the full TDVP stepper
+    over a batch of post-quench couplings g1 (optionally shard_map'd over a
+    device mesh).  The reference ran each (noise, p) trajectory as a
+    separate cluster job (scripts/loschmidt.py:351-382); here the whole
+    family advances in lockstep on the accelerator.
+
+    Returns (times, loschmidt[len(g1s), n_steps]).
+    """
+    import optax
+
+    from ..mps import transfer as tr
+    from ..objectives.overlap import mixed_transfer_with_gate, tdvp_objective
+    from ..parallel.sweep import tfim_matrix
+    from .ground_state import find_ground_state
+
+    g1s = jnp.asarray(g1s)
+    gate = ansatze.shallow_full_state
+    gs = find_ground_state(
+        Hamiltonian({"ZZ": -1.0, "X": g0}), D=2, ansatz="full15",
+        method="lbfgs", steps=gs_steps, key=key,
+    )
+    dt = t_max / n_steps
+    opt = optax.adam(lr)
+
+    def make_W(g1):
+        return jax.scipy.linalg.expm(-1j * tfim_matrix(g1).astype(jnp.complex64 if not jax.config.jax_enable_x64 else jnp.complex128) * 2 * dt)
+
+    def one_traj(g1, p0):
+        W = make_W(g1)
+        A0 = unitary_to_tensor(gate(p0))
+
+        def loss(p, A):
+            return tdvp_objective(A, unitary_to_tensor(gate(p)), W)
+
+        vg = jax.value_and_grad(loss)
+
+        def outer(carry, _):
+            p = carry
+            A = unitary_to_tensor(gate(p))
+
+            def inner(c, _):
+                pp, s = c
+                v, g = vg(pp, A)
+                up, s = opt.update(g, s)
+                return (optax.apply_updates(pp, up), s), None
+
+            (p_new, _), _ = jax.lax.scan(inner, (p, opt.init(p)), None, length=inner_steps)
+            B = unitary_to_tensor(gate(p_new))
+            ov, _ = tr.right_fixed_point(B, A0)
+            return p_new, jnp.abs(ov) ** 2
+
+        _, les = jax.lax.scan(outer, p0, None, length=n_steps)
+        return les
+
+    p0s = jnp.broadcast_to(gs.params, (g1s.shape[0],) + gs.params.shape)
+    f = jax.vmap(one_traj)
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        f = shard_map(f, mesh=mesh, in_specs=(P("sweep"), P("sweep")), out_specs=P("sweep"))
+    les = jax.jit(f)(g1s, p0s)
+    times = jnp.arange(1, n_steps + 1) * dt
+    return times, les
 
 
 class NoisyMPSTimeEvolve(MPSTimeEvolve):

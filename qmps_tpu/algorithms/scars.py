@@ -10,8 +10,6 @@ joblib.Parallel.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..config import CDTYPE
 from ..core import gates as g
 from ..core.paulis import X, Y
 from .ir import circuit_unitary

@@ -21,7 +21,6 @@ import optax
 
 from ..circuits.brickwork import env_M, right_env_map
 from ..circuits.ir import circuit_state
-from ..config import CDTYPE
 from ..core.linalg import from_real_vector
 from ..core.paulis import X, Y, Z
 from ..embed.unitaries import environment_to_unitary

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CDTYPE
-from ..core.linalg import cT, rotate_to_hermitian
+from ..core.linalg import cT
 from . import transfer as tr
 
 

@@ -11,7 +11,7 @@ import ctypes
 import os
 import subprocess
 from functools import lru_cache
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libpathfinder.so")

@@ -9,16 +9,11 @@ the exact distribution — jit/vmap-friendly, reproducible by key.
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 
-from ..config import CDTYPE
 from ..core import gates as g
-from ..core.paulis import PAULI
 from ..circuits.ir import apply_unitary, circuit_state
-from ..env.variational import reduced_density_matrix
 
 
 def sample_bitstrings(key, psi: jnp.ndarray, shots: int) -> jnp.ndarray:

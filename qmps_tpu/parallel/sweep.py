@@ -8,12 +8,10 @@ compiled+sharded call (BASELINE.json config 4).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..circuits import ansatze
 from ..core.paulis import I2, X, Z

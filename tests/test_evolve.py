@@ -32,6 +32,21 @@ def test_compile_state_to_ansatz(key):
 
 
 @pytest.mark.slow
+def test_batched_quench_sweep_matches_exact():
+    """Two vmapped quench trajectories in one program, both tracking the
+    exact rate function (the reference ran each as a separate job)."""
+    from qmps_tpu.algorithms.evolve import batched_quench_sweep
+
+    times, les = batched_quench_sweep(
+        1.5, [0.2, 0.4], t_max=0.6, n_steps=15, inner_steps=80, gs_steps=250
+    )
+    rates = -np.log(np.asarray(les))
+    for j, g1 in enumerate([0.2, 0.4]):
+        exact = np.array([float(loschmidt_rate(t, 1.5, g1)) for t in np.asarray(times)])
+        assert np.max(np.abs(rates[j] - exact)) < 0.02, g1
+
+
+@pytest.mark.slow
 def test_quench_matches_classical_tdvp_and_exact():
     """Circuit TDVP (D=2) vs exact rate over a short quench horizon
     (scripts/loschmidt.py workload, truncated)."""
