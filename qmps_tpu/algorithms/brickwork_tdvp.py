@@ -139,12 +139,13 @@ def loschmidt_echo_brickwork(p0, W, n_steps: int, inner_steps: int = 100):
     ev = BrickworkEvolver(W, inner_steps=inner_steps)
     traj, costs = ev.time_evolve(p0, n_steps)
 
-    U1_0, U2_0 = param_bricks(traj[0])
-    A0 = bricks_to_tensor_left(U1_0, U2_0)
-    psi0 = iMPS([A0])
+    def blocked(p):
+        U1, U2 = param_bricks(p)
+        # reorder (2, 4, 2) -> the standard (d, D, D) = (4, 2, 2)
+        return jnp.transpose(bricks_to_tensor_left(U1, U2), (1, 0, 2))
+
+    psi0 = iMPS([blocked(traj[0])])
     les = []
     for p in traj[1:]:
-        U1, U2 = param_bricks(p)
-        A = bricks_to_tensor_left(U1, U2)
-        les.append(iMPS([A]).overlap(psi0))
+        les.append(iMPS([blocked(p)]).overlap(psi0))
     return jnp.stack(les), traj, costs

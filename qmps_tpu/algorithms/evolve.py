@@ -53,12 +53,18 @@ class MPSTimeEvolve:
         lr: float = 3e-2,
         trotter_factor: float = 2.0,
     ):
-        h = H.to_matrix() if isinstance(H, Hamiltonian) else jnp.asarray(H)
+        import numpy as np
+        import scipy.linalg
+
+        from ..ham.hamiltonian import as_host_matrix
+
+        h = as_host_matrix(H)
         self.h = h
         self.dt = dt
         # the reference evolves with W = expm(-i h * 2dt) per dt step: the
-        # 2-site gate advances the 2-site unit cell (scripts/loschmidt.py:341)
-        self.W = jax.scipy.linalg.expm(-1j * h * trotter_factor * dt)
+        # 2-site gate advances the 2-site unit cell (scripts/loschmidt.py:341);
+        # host-side expm so the jit captures a host constant
+        self.W = scipy.linalg.expm(-1j * np.asarray(h) * trotter_factor * dt)
         self.gate = ansatze.shallow_full_state if gate is None else gate
         self.inner_steps = inner_steps
         self.lr = lr
@@ -163,6 +169,7 @@ def batched_quench_sweep(
     lr: float = 3e-2,
     key=None,
     mesh=None,
+    params0=None,
 ):
     """Many quench trajectories as ONE program: vmap the full TDVP stepper
     over a batch of post-quench couplings g1 (optionally shard_map'd over a
@@ -181,10 +188,12 @@ def batched_quench_sweep(
 
     g1s = jnp.asarray(g1s)
     gate = ansatze.shallow_full_state
-    gs = find_ground_state(
-        Hamiltonian({"ZZ": -1.0, "X": g0}), D=2, ansatz="full15",
-        method="lbfgs", steps=gs_steps, key=key,
-    )
+    if params0 is None:
+        gs = find_ground_state(
+            Hamiltonian({"ZZ": -1.0, "X": g0}), D=2, ansatz="full15",
+            method="lbfgs", steps=gs_steps, key=key,
+        )
+        params0 = gs.params
     dt = t_max / n_steps
     opt = optax.adam(lr)
 
@@ -218,7 +227,7 @@ def batched_quench_sweep(
         _, les = jax.lax.scan(outer, p0, None, length=n_steps)
         return les
 
-    p0s = jnp.broadcast_to(gs.params, (g1s.shape[0],) + gs.params.shape)
+    p0s = jnp.broadcast_to(params0, (g1s.shape[0],) + params0.shape)
     f = jax.vmap(one_traj)
     if mesh is not None:
         from jax import shard_map

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..circuits import ansatze
 from ..embed.unitaries import unitary_to_tensor
-from ..ham.hamiltonian import Hamiltonian
+from ..ham.hamiltonian import Hamiltonian, as_host_matrix
 from ..objectives.energy import (
     energy_exact_env,
     energy_joint_env_purity,
@@ -73,7 +73,7 @@ def find_ground_state(
     {'suN', 'full15', 'cnot', 'qaoa', 'cnot3', 'exact_after_4', ...};
     method in {'adam', 'lbfgs', 'rotosolve', 'Nelder-Mead', 'Powell', ...}.
     """
-    h = H.to_matrix() if isinstance(H, Hamiltonian) else jnp.asarray(H)
+    h = as_host_matrix(H)
     build = _ansatz_builder(ansatz, D)
     if initial_guess is None:
         key = jax.random.PRNGKey(0) if key is None else key
@@ -150,7 +150,7 @@ class NonSparseFullEnergyOptimizer(_OptimizerBase):
 
     def __init__(self, H, D: int = 2, initial_guess=None, key=None):
         super().__init__()
-        self.h = H.to_matrix() if isinstance(H, Hamiltonian) else jnp.asarray(H)
+        self.h = as_host_matrix(H)
         self.D = D
         if initial_guess is None:
             key = jax.random.PRNGKey(0) if key is None else key
@@ -179,7 +179,7 @@ class SparseFullEnergyOptimizer(_OptimizerBase):
         key=None,
     ):
         super().__init__()
-        self.h = H.to_matrix() if isinstance(H, Hamiltonian) else jnp.asarray(H)
+        self.h = as_host_matrix(H)
         self.D = D
         self.optimize_environment = optimize_environment
         if optimize_environment:
@@ -210,7 +210,7 @@ class NoisyNonSparseFullEnergyOptimizer(_OptimizerBase):
 
     def __init__(self, H, depolarizing_prob: float, initial_guess=None, key=None):
         super().__init__()
-        self.h = H.to_matrix() if isinstance(H, Hamiltonian) else jnp.asarray(H)
+        self.h = as_host_matrix(H)
         self.p_noise = depolarizing_prob
         if initial_guess is None:
             key = jax.random.PRNGKey(0) if key is None else key
@@ -236,7 +236,7 @@ class NoisySparseFullEnergyOptimizer(_OptimizerBase):
         ansatz: str = "cnot", initial_guess=None, key=None,
     ):
         super().__init__()
-        self.h = H.to_matrix() if isinstance(H, Hamiltonian) else jnp.asarray(H)
+        self.h = as_host_matrix(H)
         self.p_noise = depolarizing_prob
         self.D = D
         self.ansatz = ansatz
@@ -280,6 +280,16 @@ class NoisySparseSampledEnergyOptimizer(_OptimizerBase):
         self.initial_guess = jnp.asarray(initial_guess)
         self.settings["method"] = "Nelder-Mead"
 
+    def optimize(self):
+        if self.settings["method"] in ("adam", "lbfgs", "rotosolve"):
+            raise ValueError(
+                "the sampled objective draws fresh shot noise per evaluation "
+                "(stateful PRNG key), which cannot live inside a jitted "
+                "optimizer loop — use a scipy method ('Nelder-Mead', "
+                "'Powell'), as the reference does"
+            )
+        return super().optimize()
+
     def objective_function(self, params):
         from ..circuits.ansatze import STATE_ANSATZE, STATE_ANSATZE_OPS
         from ..env.exact import get_env_exact
@@ -322,7 +332,7 @@ class NonSparseFullTwoSiteEnergyOptimizer(_OptimizerBase):
 
     def __init__(self, H, initial_guess=None, key=None):
         super().__init__()
-        self.h = H.to_matrix() if isinstance(H, Hamiltonian) else jnp.asarray(H)
+        self.h = as_host_matrix(H)
         if initial_guess is None:
             key = jax.random.PRNGKey(0) if key is None else key
             initial_guess = jax.random.normal(key, (30,)) * 0.5

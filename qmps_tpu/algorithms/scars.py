@@ -35,9 +35,13 @@ def scars_cost(params, current_params, W16) -> jnp.ndarray:
     return tdvp_objective(A12, B12, W16)
 
 
-def scars_W(mu: float, dt: float) -> jnp.ndarray:
-    """W = expm(+i dt H(mu)) (the reference's sign convention, scars.py:27)."""
-    return jax.scipy.linalg.expm(1j * dt * scars_H(mu))
+def scars_W(mu: float, dt: float):
+    """W = expm(+i dt H(mu)) (the reference's sign convention, scars.py:27).
+    Host numpy so jits capture a host constant."""
+    import numpy as np
+    import scipy.linalg
+
+    return scipy.linalg.expm(1j * dt * np.asarray(scars_H(mu)))
 
 
 @dataclasses.dataclass

@@ -27,11 +27,26 @@ class Hamiltonian:
                     self.strings[key + "I"] = self.strings.get(key + "I", 0) + val / 2
                     del self.strings[key]
 
-    def to_matrix(self) -> jnp.ndarray:
+    def to_matrix(self):
+        """Dense 4x4 matrix as a HOST numpy array.
+
+        Host-side on purpose: Hamiltonian matrices are baked into jitted
+        objectives as constants, and this TPU backend cannot pull complex
+        device arrays back to the host at trace time (see config.py).
+        Traced couplings are not supported here — use e.g.
+        parallel.sweep.tfim_matrix for coupling-sweep tracing.
+        """
+        import numpy as np
+
+        from ..config import NP_CDTYPE
+
         assert self.strings is not None
-        h = jnp.zeros((4, 4), CDTYPE)
+        h = np.zeros((4, 4), NP_CDTYPE)
         for js, J in self.strings.items():
-            h = h + J * kron_all([PAULI[j] for j in js])
+            term = PAULI[js[0]]
+            for c in js[1:]:
+                term = np.kron(term, PAULI[c])
+            h = h + complex(J) * term
         return h
 
     def measure_energy(self, key, psi, qubits=(1, 2), shots: int = 300000):
@@ -66,6 +81,19 @@ class Hamiltonian:
         return out
 
 
+def as_host_matrix(H):
+    """Hamiltonian | array -> host numpy matrix when possible (device complex
+    arrays cannot cross to host on this TPU backend; jit closures must
+    capture host constants)."""
+    import numpy as np
+
+    if isinstance(H, Hamiltonian):
+        return H.to_matrix()
+    if isinstance(H, np.ndarray):
+        return H
+    return H
+
+
 def tfim(g: float) -> Hamiltonian:
     """Transverse-field Ising H = -ZZ + g X (per-site field split over bonds)."""
     return Hamiltonian({"ZZ": -1.0, "X": g})
@@ -81,9 +109,9 @@ def heisenberg(J: float = 1.0) -> Hamiltonian:
     return Hamiltonian({"XX": J, "YY": J, "ZZ": J})
 
 
-def scars_H(mu: float) -> jnp.ndarray:
+def scars_H(mu: float):
     """4-site PXP scars Hamiltonian (scars.py:22-25); returns the dense
-    16x16 matrix (it is not a 2-site Pauli-string Hamiltonian)."""
+    16x16 matrix as HOST numpy (see to_matrix)."""
     import numpy as np
 
     P = np.array([[0, 0], [0, 1]], dtype=complex)
@@ -97,7 +125,9 @@ def scars_H(mu: float) -> jnp.ndarray:
             out = np.kron(out, o)
         return out
 
+    from ..config import NP_CDTYPE
+
     H = 0.5 * (mt([I, P, Xm, P]) + mt([P, Xm, P, I])) + (mu / 4) * (
         mt([I, I, I, n]) + mt([I, I, n, I]) + mt([I, n, I, I]) + mt([n, I, I, I])
     )
-    return jnp.asarray(H, CDTYPE)
+    return H.astype(NP_CDTYPE)

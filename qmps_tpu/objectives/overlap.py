@@ -99,8 +99,12 @@ def get_overlap_variational(
 
     from ..core.linalg import rotate_to_hermitian
 
+    import numpy as np
+
+    from ..config import NP_CDTYPE
+
     key = jax.random.PRNGKey(0) if key is None else key
-    W = jnp.eye(4, dtype=CDTYPE)
+    W = np.eye(4, dtype=NP_CDTYPE)  # host constant (axon-safe jit capture)
 
     def amp_of(rs):
         r = rotate_to_hermitian((rs[:4] + 1j * rs[4:]).reshape(2, 2))

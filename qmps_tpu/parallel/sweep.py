@@ -98,6 +98,29 @@ def sweep_ground_states(
     return fn(gs, p0s)
 
 
+def multi_start_ground_state(
+    g: float,
+    D: int = 2,
+    ansatz: str = "suN",
+    n_starts: int = 64,
+    steps: int = 300,
+    lr: float = 0.05,
+    key=None,
+):
+    """TPU-native ground-state search: ``n_starts`` random initializations
+    optimized in one batched program, best kept.
+
+    This is both the retry-until-monotone robustness pattern done in
+    parallel AND the layout this backend compiles well (batched ops; an
+    unbatched optimizer graph of tiny complex ops compiles pathologically
+    slowly here).  Returns (energy, params).
+    """
+    gs = jnp.full((n_starts,), g, dtype=jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64)
+    es, params = sweep_ground_states(gs, D=D, ansatz=ansatz, steps=steps, lr=lr, key=key)
+    i = jnp.argmin(es)
+    return es[i], params[i]
+
+
 def phase_diagram_sweep(
     gs: jnp.ndarray,
     Ds=(2,),

@@ -27,6 +27,27 @@ def test_sharded_sweep_matches_vmap():
     np.testing.assert_allclose(np.asarray(es_sharded), np.asarray(es_local), atol=1e-9)
 
 
+def test_multi_start_ground_state():
+    from qmps_tpu.parallel.sweep import multi_start_ground_state
+
+    e, p = multi_start_ground_state(1.0, D=2, ansatz="full15", n_starts=8, steps=200)
+    assert float(e) - float(tfim_gs_energy(1.0)) < 2e-2
+    assert p.shape == (15,)
+
+
+def test_hamiltonian_matrices_are_host_numpy():
+    """Constants captured into jits must be host arrays (the TPU backend
+    cannot fetch complex device arrays at trace time)."""
+    import numpy as np
+
+    from qmps_tpu.ham import tfim
+    from qmps_tpu.ham.hamiltonian import as_host_matrix, scars_H
+
+    assert isinstance(tfim(1.0).to_matrix(), np.ndarray)
+    assert isinstance(scars_H(0.3), np.ndarray)
+    assert isinstance(as_host_matrix(tfim(0.5)), np.ndarray)
+
+
 def test_phase_diagram_multi_D():
     gs = jnp.linspace(0.5, 1.5, 8)
     table = phase_diagram_sweep(gs, Ds=(2,), steps=150, mesh=make_mesh(8))
