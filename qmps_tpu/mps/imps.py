@@ -193,6 +193,47 @@ class iMPS:
     def energy(self, h: jnp.ndarray) -> jnp.ndarray:
         return self.E2(h).real
 
+    def correlation_length(self) -> jnp.ndarray:
+        """xi = -1 / log |lambda_2 / lambda_1| of the transfer spectrum.
+
+        The subdominant eigenvalue comes from one step of deflated power
+        iteration on the dense transfer matrix (device-friendly: no
+        general eigensolver needed)."""
+        A = self.blocked
+        AL, _, _ = left_orthogonalise(A)
+        E = tr.transfer_dense(AL, AL)
+        lam1, v1 = tr.dominant_eig_dense(E)
+        # deflate the dominant pair and find the next eigenvalue; for the
+        # (generically non-normal) transfer operator use left/right pair
+        lam1l, w1 = tr.dominant_eig_dense(E.conj().T)
+        w1 = w1 / jnp.vdot(w1, v1).conj()
+        E2 = E - lam1 * jnp.outer(v1, w1.conj())
+        lam2, _ = tr.dominant_eig_dense(E2)
+        ratio = jnp.abs(lam2) / jnp.abs(lam1)
+        return -1.0 / jnp.log(jnp.clip(ratio, 1e-300, 1 - 1e-15))
+
+    def correlator(self, op1, op2, max_dist: int = 20) -> jnp.ndarray:
+        """Connected two-point function C(r) = <O1_0 O2_r> - <O1><O2> for
+        r = 1..max_dist, via repeated transfer application."""
+        AL, _, _ = left_orthogonalise(self.blocked)
+        _, r = tr.right_fixed_point(AL, AL)
+        r = (r + cT(r)) / 2
+        r = r / jnp.trace(r)
+        op1 = jnp.asarray(op1, AL.dtype)
+        op2 = jnp.asarray(op2, AL.dtype)
+        # right block with O2 inserted: T2 = sum_{s,t} op2[t,s]... as matrix
+        T2 = jnp.einsum("st,sij,jk,tlk->il", op2, AL, r, AL.conj())
+        e1 = jnp.einsum("st,sij,jk,tik->", op1, AL, r, AL.conj())
+        e2 = jnp.trace(T2)
+
+        def step(T, _):
+            c = jnp.einsum("st,sij,jk,tik->", op1, AL, T, AL.conj())
+            return tr.right_matvec(AL, AL, T), c
+
+        _, cs = jax.lax.scan(step, T2, None, length=max_dist)
+        # cs[k] = <O1_0 O2_{k+1}> (k = 0 is the adjacent pair)
+        return (cs - e1 * e2).real
+
     def dA_dt(self, h: jnp.ndarray) -> jnp.ndarray:
         """TDVP tangent vector for this state under the two-site Hamiltonian
         h (xmps iMPS.dA_dt analogue; see mps.tdvp)."""

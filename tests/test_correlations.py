@@ -1,0 +1,81 @@
+"""Correlation functions and correlation length (transfer-spectrum API)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qmps_tpu.core.paulis import Z
+from qmps_tpu.mps.imps import iMPS, left_orthogonalise, random_tensor
+
+
+def test_product_state_has_zero_connected_correlations():
+    a = 0.4
+    A = (
+        jnp.zeros((2, 1, 1), jnp.complex128)
+        .at[0, 0, 0]
+        .set(jnp.cos(a))
+        .at[1, 0, 0]
+        .set(jnp.sin(a))
+    )
+    C = np.asarray(iMPS([A]).correlator(Z, Z, 5))
+    np.testing.assert_allclose(C, 0.0, atol=1e-10)
+
+
+def test_correlator_matches_brute_force(key):
+    A = random_tensor(key, 2, 3)
+    psi = iMPS([A])
+    C = np.asarray(psi.correlator(Z, Z, 4))
+
+    AL, _, _ = left_orthogonalise(A)
+    ALn = np.asarray(AL)
+    E = np.einsum("sik,sjl->ijkl", ALn, ALn.conj()).reshape(9, 9)
+    w, V = np.linalg.eig(E)
+    i = np.argmax(abs(w))
+    r = V[:, i].reshape(3, 3)
+    r = (r + r.conj().T) / 2
+    r = r / np.trace(r)
+    Zn = np.asarray(Z, complex)
+
+    def site_op(op, Xm):
+        return sum(
+            op[s, t] * ALn[s] @ Xm @ ALn[t].conj().T
+            for s in range(2)
+            for t in range(2)
+        )
+
+    def transfer(Xm):
+        return sum(ALn[s] @ Xm @ ALn[s].conj().T for s in range(2))
+
+    T2 = site_op(Zn, r)
+    e1 = np.trace(site_op(Zn, r))
+    bf, T = [], T2
+    for rdist in range(1, 5):
+        if rdist > 1:
+            T = transfer(T)
+        bf.append((np.trace(site_op(Zn, T)) - e1 * e1).real)
+    np.testing.assert_allclose(C, np.array(bf), atol=1e-9)
+
+
+def test_correlation_length_matches_numpy_spectrum(key):
+    A = random_tensor(key, 2, 4)
+    psi = iMPS([A])
+    xi = float(psi.correlation_length())
+
+    AL, _, _ = left_orthogonalise(A)
+    ALn = np.asarray(AL)
+    E = np.einsum("sik,sjl->ijkl", ALn, ALn.conj()).reshape(16, 16)
+    w = np.sort(np.abs(np.linalg.eigvals(E)))[::-1]
+    xi_ref = -1.0 / np.log(w[1] / w[0])
+    np.testing.assert_allclose(xi, xi_ref, rtol=1e-5)
+
+
+def test_correlations_decay_at_least_as_fast_as_xi(key):
+    """xi bounds the *slowest* decay channel: any particular correlator
+    decays at a rate >= 1/xi (it may be faster when the operator does not
+    couple to the subleading transfer eigenvector, and it may oscillate
+    when that eigenvalue is complex) — so test the envelope bound."""
+    A = random_tensor(key, 2, 2)
+    psi = iMPS([A])
+    C = np.abs(np.asarray(psi.correlator(Z, Z, 14)))
+    xi = float(psi.correlation_length())
+    rate = np.log(np.max(C[0:3]) / np.max(C[9:12])) / 9  # envelope decay
+    assert rate >= (1 / xi) * 0.9
