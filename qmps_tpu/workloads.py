@@ -1,0 +1,163 @@
+"""The BASELINE.json config ladder as runnable workload dataclasses.
+
+The reference has no config system (constants in __main__ blocks,
+SURVEY.md section 5); here each benchmark configuration is a frozen
+dataclass with a ``run()`` that returns a metrics dict.  These are the
+driver-facing workloads:
+
+1. TFIM ground state, D=2 (CPU-runnable PR1 reference)
+2. D=4 circuit MPS + transfer fixed-point environment
+3. Post-quench TDVP + Loschmidt echo vs the exact oracle
+4. vmapped/sharded (g,) phase-diagram sweep
+5. brickwork TDVP with the flat-matmul kernels (stretch)
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class GroundStateConfig:
+    """Configs 1-2: variational TFIM ground state at bond dimension D."""
+
+    g: float = 1.0
+    D: int = 2
+    ansatz: str = "suN"
+    method: str = "lbfgs"
+    steps: int = 300
+
+    def run(self) -> dict:
+        from .algorithms import find_ground_state
+        from .ham import tfim, tfim_gs_energy
+
+        t0 = time.perf_counter()
+        res = find_ground_state(
+            tfim(self.g), D=self.D, ansatz=self.ansatz,
+            method=self.method, steps=self.steps,
+        )
+        dt = time.perf_counter() - t0
+        e_exact = float(tfim_gs_energy(self.g))
+        return {
+            "energy": res.energy,
+            "exact": e_exact,
+            "error": res.energy - e_exact,
+            "seconds": dt,
+            "steps_per_sec": self.steps / dt,
+        }
+
+
+@dataclasses.dataclass(frozen=True)
+class QuenchConfig:
+    """Config 3: post-quench TDVP + Loschmidt echo vs the exact rate."""
+
+    g0: float = 1.5
+    g1: float = 0.2
+    t_max: float = 0.8
+    n_steps: int = 20
+    inner_steps: int = 100
+
+    def run(self) -> dict:
+        from .algorithms.evolve import loschmidt_echo_run
+        from .ham import loschmidt_rate
+
+        t0 = time.perf_counter()
+        times, rates, rec = loschmidt_echo_run(
+            self.g0, self.g1, self.t_max, self.n_steps, inner_steps=self.inner_steps
+        )
+        dt = time.perf_counter() - t0
+        exact = np.array(
+            [float(loschmidt_rate(t, self.g0, self.g1)) for t in np.asarray(times)]
+        )
+        return {
+            "max_rate_error": float(np.max(np.abs(np.asarray(rates) - exact))),
+            "seconds": dt,
+            "tdvp_steps_per_sec": self.n_steps / dt,
+        }
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepConfig:
+    """Config 4: the sharded phase-diagram sweep."""
+
+    n_points: int = 256
+    D: int = 2
+    steps: int = 300
+    g_min: float = 0.1
+    g_max: float = 2.0
+    use_mesh: bool = False
+
+    def run(self) -> dict:
+        from .ham import tfim_gs_energy
+        from .parallel import make_mesh, sweep_ground_states
+
+        gs = jnp.linspace(self.g_min, self.g_max, self.n_points)
+        mesh = make_mesh() if self.use_mesh and len(jax.devices()) > 1 else None
+        # warm-up/compile
+        es, _ = sweep_ground_states(gs, D=self.D, steps=self.steps, mesh=mesh)
+        es.block_until_ready()
+        t0 = time.perf_counter()
+        es, _ = sweep_ground_states(gs + 1e-3, D=self.D, steps=self.steps, mesh=mesh)
+        es.block_until_ready()
+        dt = time.perf_counter() - t0
+        exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
+        err = np.asarray(es, np.float64) - exact
+        return {
+            "opts_per_sec": self.n_points / dt,
+            "seconds": dt,
+            "median_error": float(np.median(err)),
+            "max_error": float(np.max(err)),
+        }
+
+
+@dataclasses.dataclass(frozen=True)
+class BrickworkConfig:
+    """Config 5: gen-2 brickwork TDVP with the flat-matmul hot kernel."""
+
+    batch: int = 16384
+    iters: int = 30
+
+    def run(self) -> dict:
+        from .kernels import manifold_overlap_batched
+
+        rng = np.random.default_rng(0)
+
+        def hu(b, n):
+            A = rng.standard_normal((b, n, n)) + 1j * rng.standard_normal((b, n, n))
+            Q, _ = np.linalg.qr(A)
+            return jnp.asarray(Q.astype(np.complex64))
+
+        U1, U2, U1p, U2p = (hu(self.batch, 4) for _ in range(4))
+        M = hu(self.batch, 2)
+        W = hu(1, 16)[0]
+
+        @jax.jit
+        def f(U1, U2, U1p, U2p, M, W):
+            return jnp.abs(
+                manifold_overlap_batched(
+                    U1, U2, U1p, U2p, M, jnp.swapaxes(M, -1, -2).conj(), W
+                )
+            )
+
+        out = f(U1, U2, U1p, U2p, M, W)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(self.iters):
+            out = f(U1, U2, U1p, U2p, M, W)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        return {"overlap_evals_per_sec": self.batch * self.iters / dt, "seconds": dt}
+
+
+CONFIG_LADDER = (
+    GroundStateConfig(D=2),
+    GroundStateConfig(D=4),
+    QuenchConfig(),
+    SweepConfig(),
+    BrickworkConfig(),
+)

@@ -1,0 +1,22 @@
+"""BASELINE config-ladder workloads run and report sane metrics."""
+import numpy as np
+import pytest
+
+from qmps_tpu.workloads import BrickworkConfig, GroundStateConfig, SweepConfig
+
+
+def test_ground_state_config():
+    m = GroundStateConfig(D=2, steps=150).run()
+    assert m["error"] < 5e-3 and m["error"] > -1e-8
+
+
+def test_brickwork_config():
+    m = BrickworkConfig(batch=1024, iters=3).run()
+    assert m["overlap_evals_per_sec"] > 0
+
+
+@pytest.mark.slow
+def test_sweep_config():
+    m = SweepConfig(n_points=16, steps=150).run()
+    assert m["max_error"] < 5e-2
+    assert np.isfinite(m["opts_per_sec"])
