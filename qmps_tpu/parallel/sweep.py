@@ -55,6 +55,7 @@ def sweep_ground_states(
     lr: float = 0.05,
     key=None,
     mesh: Mesh | None = None,
+    restarts: int = 1,
 ):
     """Ground-state energies for a batch of field values g.
 
@@ -76,14 +77,21 @@ def sweep_ground_states(
         n_params = 2 * 2  # depth-2 default for shallow families
 
     key = jax.random.PRNGKey(0) if key is None else key
-    p0s = jax.random.normal(key, (gs.shape[0], n_params)) * 0.5
+    p0s = jax.random.normal(key, (gs.shape[0], restarts, n_params)) * 0.5
 
     # cache the compiled program: rebuilding the closure every call would
     # re-trace and re-compile (expensive through the TPU remote compiler)
-    cache_key = (D, ansatz, steps, lr, mesh)
+    cache_key = (D, ansatz, steps, lr, mesh, restarts)
     fn = _SWEEP_CACHE.get(cache_key)
     if fn is None:
-        f = jax.vmap(lambda g, p0: _optimize_one(g, p0, build, steps, lr))
+
+        def per_point(g, p0r):
+            # independent restarts per point; keep the best basin
+            es, ps = jax.vmap(lambda p0: _optimize_one(g, p0, build, steps, lr))(p0r)
+            i = jnp.argmin(es)
+            return es[i], ps[i]
+
+        f = jax.vmap(per_point)
         if mesh is not None:
             from jax import shard_map
 
