@@ -41,6 +41,22 @@ def on_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+# persistent jit cache: compiles are expensive through this backend's
+# remote-compile tunnel; cache them across processes.  Opt out with
+# QMPS_TPU_NO_JIT_CACHE=1.
+import os as _os  # noqa: E402
+
+if _os.environ.get("QMPS_TPU_NO_JIT_CACHE", "0") != "1":
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("QMPS_TPU_JIT_CACHE", "/tmp/qmps_tpu_jit_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 @dataclasses.dataclass(frozen=True)
 class Precision:
     """Bundle of dtypes threaded through hot paths."""
