@@ -42,11 +42,16 @@ def on_tpu() -> bool:
 
 
 # persistent jit cache: compiles are expensive through this backend's
-# remote-compile tunnel; cache them across processes.  Opt out with
+# remote-compile tunnel; cache them across processes.  TPU mode only —
+# CPU AOT cache entries are microarch-specific and reloading them on a
+# different host risks SIGILL (observed loader warnings).  Opt out with
 # QMPS_TPU_NO_JIT_CACHE=1.
 import os as _os  # noqa: E402
 
-if _os.environ.get("QMPS_TPU_NO_JIT_CACHE", "0") != "1":
+if (
+    _os.environ.get("QMPS_TPU_NO_JIT_CACHE", "0") != "1"
+    and _os.environ.get("QMPS_TPU_X64", "1") == "0"
+):
     try:
         jax.config.update(
             "jax_compilation_cache_dir",

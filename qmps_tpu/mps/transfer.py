@@ -97,6 +97,43 @@ def dominant_eig_power(
     return lam, v
 
 
+import jax
+
+
+@jax.custom_vjp
+def dominant_eigval_dense(E: jnp.ndarray) -> jnp.ndarray:
+    """Dominant eigenvalue only, with an implicit-function adjoint.
+
+    The eigenvalue is gauge-free, so its adjoint is exact and cheap:
+    dlam = (w^dag dE v) / (w^dag v) with v, w the right/left dominant
+    eigenvectors — no backward pass through the squaring iteration.  Use
+    this in objectives that consume only lam (the fast TDVP overlap paths);
+    the eigenvector-consuming paths keep plain AD-through.
+
+    (Adjoint convention validated numerically against AD-through-squaring;
+    the full eigenpair adjoint needs a projector-gauge treatment and is
+    intentionally not provided yet.)
+    """
+    lam, _ = dominant_eig_dense(E)
+    return lam
+
+
+def _dom_eigval_fwd(E):
+    lam, v = dominant_eig_dense(E)
+    _, w = dominant_eig_dense(jnp.swapaxes(E, -1, -2).conj())  # E^dag w = conj(lam) w
+    return lam, (lam, v, w)
+
+
+def _dom_eigval_bwd(res, lam_ct):
+    lam, v, w = res
+    denom = jnp.vdot(w, v)  # w^dag v
+    Ebar = lam_ct * jnp.outer(w.conj(), v) / denom
+    return (Ebar,)
+
+
+dominant_eigval_dense.defvjp(_dom_eigval_fwd, _dom_eigval_bwd)
+
+
 def right_fixed_point(A: jnp.ndarray, B: jnp.ndarray, dense: bool = True, iters: int = 40):
     """Dominant (lam, r) of r -> sum_s A[s] r B[s]^dag, r as a (D, D) matrix.
 

@@ -36,9 +36,14 @@ def mixed_transfer_with_gate(A: jnp.ndarray, B: jnp.ndarray, W: jnp.ndarray):
 
 
 def tdvp_objective(A: jnp.ndarray, B: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
-    """-|x|: maximize the per-site fidelity density (fast path)."""
+    """-|x|: maximize the per-site fidelity density (fast path).
+
+    Only the eigenvalue is consumed, so the implicit adjoint applies: the
+    backward pass is one extra eigen-solve + a rank-1 outer product instead
+    of differentiating through the squaring iteration."""
     WAA, BB = mixed_transfer_with_gate(A, B, W)
-    x, _ = tr.right_fixed_point(WAA, BB)
+    E = tr.transfer_dense(WAA, BB)
+    x = tr.dominant_eigval_dense(E)
     return -jnp.abs(x)
 
 
