@@ -109,12 +109,14 @@ class MPSTimeEvolve:
         psi0 = iMPS([self.tensor(params)])
         ps, les, evss, errs = [params], [], [], []
         for _ in range(n_steps):
-            psi_t = iMPS([self.tensor(params)])
-            evss.append(psi_t.Es(record_ops))
-            les.append(psi_t.overlap(psi0))
+            # step first, then record: loschmidt[k] is the state at
+            # t = (k+1) dt, matching the time grid the pipelines report
             params, err = self.step(params)
             ps.append(params)
             errs.append(err)
+            psi_t = iMPS([self.tensor(params)])
+            evss.append(psi_t.Es(record_ops))
+            les.append(psi_t.overlap(psi0))
         return EvolveRecord(
             params=jnp.stack(ps),
             loschmidt=jnp.stack(les),

@@ -56,6 +56,6 @@ def test_quench_matches_classical_tdvp_and_exact():
     exact = np.array([float(loschmidt_rate(t, 1.5, 0.2)) for t in np.asarray(times)])
     got = np.asarray(rates)
     # D=2 circuit TDVP w/ finite dt: reference-level agreement
-    assert np.max(np.abs(got - exact)) < 0.06
+    assert np.max(np.abs(got - exact)) < 0.02
     # and it should track the classical engine more tightly than the oracle
     assert got[-1] > 0.1  # rate has clearly risen by t=0.8
