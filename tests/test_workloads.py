@@ -17,6 +17,6 @@ def test_brickwork_config():
 
 @pytest.mark.slow
 def test_sweep_config():
-    m = SweepConfig(n_points=16, steps=150).run()
+    m = SweepConfig(n_points=16, steps=300).run()
     assert m["max_error"] < 5e-2
     assert np.isfinite(m["opts_per_sec"])
