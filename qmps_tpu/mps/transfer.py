@@ -13,8 +13,13 @@ solvers:
   O(d D^3) per step, for large D where the dense D^2 x D^2 operator is too
   big to materialize.
 
-Both are plain compositions of matmuls, so reverse-mode AD works out of the
-box (no custom fixed-point adjoint needed at these sizes).
+Both are plain compositions of matmuls, so reverse-mode AD works out of
+the box; on top of that, the dense path ships exact implicit-function
+adjoints (``dominant_eigval_dense`` for eigenvalue-only consumers and
+``dominant_eigpair_cgauge`` with a holomorphic c^T v = 1 gauge for the full
+pair), so gradients cost one bordered linear solve instead of a backward
+pass through the squaring iteration — and are *more* accurate (validated
+against finite differences).
 """
 from __future__ import annotations
 
@@ -108,11 +113,7 @@ def dominant_eigval_dense(E: jnp.ndarray) -> jnp.ndarray:
     dlam = (w^dag dE v) / (w^dag v) with v, w the right/left dominant
     eigenvectors — no backward pass through the squaring iteration.  Use
     this in objectives that consume only lam (the fast TDVP overlap paths);
-    the eigenvector-consuming paths keep plain AD-through.
-
-    (Adjoint convention validated numerically against AD-through-squaring;
-    the full eigenpair adjoint needs a projector-gauge treatment and is
-    intentionally not provided yet.)
+    eigenvector consumers use ``dominant_eigpair_cgauge`` below.
     """
     lam, _ = dominant_eig_dense(E)
     return lam
@@ -134,6 +135,45 @@ def _dom_eigval_bwd(res, lam_ct):
 dominant_eigval_dense.defvjp(_dom_eigval_fwd, _dom_eigval_bwd)
 
 
+@jax.custom_vjp
+def dominant_eigpair_cgauge(E: jnp.ndarray, c: jnp.ndarray):
+    """(lam, v) with the holomorphic gauge c^T v = 1.
+
+    Fixing the eigenvector scale by a LINEAR functional (not a norm) makes
+    (lam, v) locally holomorphic in E, so the implicit-function adjoint is
+    exact and gauge-unambiguous: the backward pass is one bordered
+    (n+1)-dim linear solve instead of differentiating the squaring
+    iteration.  Callers apply their own (differentiable) gauge map on top —
+    e.g. hermitian rotation + Frobenius normalization in
+    ``right_fixed_point``.
+    """
+    lam, v = dominant_eig_dense(E)
+    return lam, v / (c @ v)
+
+
+def _eigpair_fwd(E, c):
+    lam, v = dominant_eigpair_cgauge(E, c)
+    return (lam, v), (E, lam, v, c)
+
+
+def _eigpair_bwd(res, cts):
+    E, lam, v, c = res
+    lam_ct, v_ct = cts
+    n = E.shape[0]
+    # J = [[E - lam I, -v], [c^T, 0]] from d(Ev - lam v) = 0, d(c^T v) = 0;
+    # solve J^T [xi; mu] = [v_ct; lam_ct], then Ebar = -outer(xi, v)
+    JT = jnp.zeros((n + 1, n + 1), E.dtype)
+    JT = JT.at[:n, :n].set((E - lam * jnp.eye(n, dtype=E.dtype)).T)
+    JT = JT.at[:n, n].set(c)
+    JT = JT.at[n, :n].set(-v)
+    rhs = jnp.concatenate([v_ct, jnp.reshape(lam_ct, (1,))])
+    xi = jnp.linalg.solve(JT, rhs)[:n]
+    return (-jnp.outer(xi, v), None)
+
+
+dominant_eigpair_cgauge.defvjp(_eigpair_fwd, _eigpair_bwd)
+
+
 def right_fixed_point(A: jnp.ndarray, B: jnp.ndarray, dense: bool = True, iters: int = 40):
     """Dominant (lam, r) of r -> sum_s A[s] r B[s]^dag, r as a (D, D) matrix.
 
@@ -146,7 +186,7 @@ def right_fixed_point(A: jnp.ndarray, B: jnp.ndarray, dense: bool = True, iters:
     D1, D2 = A.shape[1], B.shape[1]
     if dense:
         E = transfer_dense(A, B)
-        lam, v = dominant_eig_dense(E, n_squarings=iters)
+        lam, v = dominant_eigpair_cgauge(E, _chirp(D1 * D2, E.dtype))
     else:
         lam, v = dominant_eig_power(
             lambda r: right_matvec(A, B, r.reshape(D1, D2)).reshape(-1),
@@ -167,7 +207,7 @@ def left_fixed_point(A: jnp.ndarray, B: jnp.ndarray, dense: bool = True, iters: 
         Ad = jnp.swapaxes(A, 1, 2).conj()
         Bd = jnp.swapaxes(B, 1, 2).conj()
         E = transfer_dense(Ad, Bd)
-        lam, v = dominant_eig_dense(E, n_squarings=iters)
+        lam, v = dominant_eigpair_cgauge(E, _chirp(D1 * D2, E.dtype))
     else:
         lam, v = dominant_eig_power(
             lambda l: left_matvec(A, B, l.reshape(D1, D2)).reshape(-1),
