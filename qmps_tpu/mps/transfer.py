@@ -23,6 +23,7 @@ against finite differences).
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax.numpy as jnp
@@ -174,6 +175,64 @@ def _eigpair_bwd(res, cts):
 dominant_eigpair_cgauge.defvjp(_eigpair_fwd, _eigpair_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _right_eigpair_matvec(A: jnp.ndarray, B: jnp.ndarray, iters: int):
+    """(lam, vec(r)) of the mixed transfer map in matvec form (large D),
+    c-gauged like the dense version; implicit adjoint via power iteration
+    on the adjoint map + a gmres bordered solve (the backward pass never
+    differentiates the iteration)."""
+    D1, D2 = A.shape[1], B.shape[1]
+    lam, v = dominant_eig_power(
+        lambda r: right_matvec(A, B, r.reshape(D1, D2)).reshape(-1),
+        jnp.eye(max(D1, D2), dtype=A.dtype)[:D1, :D2].reshape(-1),
+        iters=iters,
+    )
+    c = _chirp(D1 * D2, A.dtype)
+    return lam, v / (c @ v)
+
+
+def _rem_fwd(A, B, iters):
+    lam, v = _right_eigpair_matvec(A, B, iters)
+    return (lam, v), (A, B, lam, v)
+
+
+def _rem_bwd(iters, res, cts):
+    from jax.scipy.sparse.linalg import gmres
+
+    A, B, lam, v = res
+    lam_ct, v_ct = cts
+    D1, D2 = A.shape[1], B.shape[1]
+    n = D1 * D2
+    c = _chirp(n, A.dtype)
+
+    def Emv(x):
+        return right_matvec(A, B, x.reshape(D1, D2)).reshape(-1)
+
+    def ETmv(x):
+        # E^T x = conj(E^dag conj(x)); E^dag is the left action
+        return left_matvec(A, B, x.conj().reshape(D1, D2)).reshape(-1).conj()
+
+    # bordered solve: [[ (E - lam)^T, c ], [ -v^T, 0 ]] [xi; mu] = [v_ct; lam_ct]
+    def op(z):
+        xi, mu = z[:n], z[n]
+        top = ETmv(xi) - lam * xi + mu * c
+        bot = -(v @ xi)
+        return jnp.concatenate([top, jnp.reshape(bot, (1,))])
+
+    rhs = jnp.concatenate([v_ct, jnp.reshape(lam_ct, (1,))])
+    sol, _ = gmres(op, rhs, tol=1e-10, atol=1e-10, maxiter=400, restart=60)
+    xi = sol[:n].reshape(D1, D2)
+    rmat = v.reshape(D1, D2)
+    # <Ebar, dE> with dE v = vec(dA r B^dag + A r dB^dag):
+    # total = -xi^T (dE v)  ->  pull back to A and B
+    Abar = -jnp.einsum("il,jk,slk->sij", xi, rmat, B.conj())
+    Bbar = -jnp.einsum("il,sij,jk->slk", xi, A, rmat).conj()
+    return Abar, Bbar
+
+
+_right_eigpair_matvec.defvjp(_rem_fwd, _rem_bwd)
+
+
 def right_fixed_point(A: jnp.ndarray, B: jnp.ndarray, dense: bool = True, iters: int = 40):
     """Dominant (lam, r) of r -> sum_s A[s] r B[s]^dag, r as a (D, D) matrix.
 
@@ -188,11 +247,7 @@ def right_fixed_point(A: jnp.ndarray, B: jnp.ndarray, dense: bool = True, iters:
         E = transfer_dense(A, B)
         lam, v = dominant_eigpair_cgauge(E, _chirp(D1 * D2, E.dtype))
     else:
-        lam, v = dominant_eig_power(
-            lambda r: right_matvec(A, B, r.reshape(D1, D2)).reshape(-1),
-            jnp.eye(max(D1, D2), dtype=A.dtype)[:D1, :D2].reshape(-1),
-            iters=max(iters, 200),
-        )
+        lam, v = _right_eigpair_matvec(A, B, max(iters, 200))
     r = rotate_to_hermitian(v.reshape(D1, D2))
     return lam, r / jnp.linalg.norm(r)
 
