@@ -25,8 +25,15 @@ def main():
     guess = None
     print(f"{'D':>3} {'E':>12}")
     for D in (2, 4, 8):
-        res = find_ground_state(H, D=D, ansatz="suN", method="lbfgs",
-                                steps=300, initial_guess=guess)
+        candidates = []
+        for seed in (0, 1, 2):
+            ig = guess if (guess is not None and seed == 0) else None
+            candidates.append(
+                find_ground_state(H, D=D, ansatz="suN", method="lbfgs",
+                                  steps=300, initial_guess=ig,
+                                  key=jax.random.PRNGKey(seed))
+            )
+        res = min(candidates, key=lambda r: r.energy)
         print(f"{D:3d} {res.energy:12.8f}")
         guess = jnp.asarray(lie.embed_su_params(np.asarray(res.params), eps=4e-2))
     # exact XY ground energy per site with these conventions: -4/pi

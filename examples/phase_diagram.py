@@ -11,6 +11,11 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
+
+if os.environ.get("QMPS_TPU_X64", "1") == "1":
+    # float64 correctness mode has no TPU support here; run on CPU
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
