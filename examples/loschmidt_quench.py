@@ -31,9 +31,11 @@ def main():
 
     print("== classical TDVP, D=8 ==")
     gs = find_ground_state(tfim(G0), D=8, ansatz="suN", method="lbfgs", steps=400)
-    traj = Trajectory(gs.A, tfim(G1).to_matrix()).eulerint(T_MAX, 800)
+    # rk4int: explicit Euler at this dt stalls at the first dynamical phase
+    # transition (Schmidt degeneracy); RK4 tracks straight through it
+    traj = Trajectory(gs.A, tfim(G1).to_matrix()).rk4int(T_MAX, 400)
     rates_c = -np.log(np.asarray(traj.loschmidts()))
-    tc = np.linspace(T_MAX / 800, T_MAX, 800)
+    tc = np.linspace(T_MAX / 400, T_MAX, 400)
 
     print("== circuit TDVP, D=2 ==")
     tq, rates_q, _ = loschmidt_echo_run(G0, G1, T_MAX, 40, inner_steps=100)

@@ -171,6 +171,52 @@ def tdvp_step(AL, C, h, dt: float):
     return ALn, Cn, e
 
 
+def _extract_AL(AC, C2):
+    """AL <- polar(AC) polar(C)^dag (gauge-preserving retraction)."""
+    d, D, _ = AC.shape
+    UAC = _polar_left(AC.transpose(1, 0, 2).reshape(D * d, D))
+    UC = _polar_left(C2)
+    return (UAC @ cT(UC)).reshape(D, d, D).transpose(1, 0, 2)
+
+
+def tdvp_step_rk4(AL, C, h, dt: float):
+    """One classical RK4 TDVP step in mixed gauge.
+
+    The tangent (dAC, dC) is evaluated at four stage points; each stage
+    re-extracts a left-isometric AL from (AC_i, C_i) by polar retraction so
+    the tangent is always evaluated on the manifold.  4x the per-step cost
+    of `tdvp_step`, but stable at time steps where explicit Euler freezes
+    at dynamical phase transitions (the Schmidt-degenerate points): Euler
+    at dt = 2e-3 stalls the g 1.5 -> 0.2 quench at the first DPT, RK4 at
+    the same dt tracks the exact rate function through it."""
+    def tangent(ALi, Ci):
+        ARi = jnp.einsum("ij,sjk,kl->sil", _pinv(Ci), ALi, Ci)
+        dAC, dC, e = dAC_dC_dt(ALi, ARi, Ci, h)
+        return dAC, dC, e
+
+    AC0 = jnp.einsum("sij,jk->sik", AL, C)
+    k1AC, k1C, e = tangent(AL, C)
+
+    def stage(aAC, aC):
+        ACi, Ci = AC0 + aAC, C + aC
+        return tangent(_extract_AL(ACi, Ci), Ci)
+
+    k2AC, k2C, _ = stage(0.5 * dt * k1AC, 0.5 * dt * k1C)
+    k3AC, k3C, _ = stage(0.5 * dt * k2AC, 0.5 * dt * k2C)
+    k4AC, k4C, _ = stage(dt * k3AC, dt * k3C)
+
+    AC = AC0 + (dt / 6.0) * (k1AC + 2 * k2AC + 2 * k3AC + k4AC)
+    C2 = C + (dt / 6.0) * (k1C + 2 * k2C + 2 * k3C + k4C)
+    ALn = _extract_AL(AC, C2)
+    # refresh C as the fixed point of the new AL (keeps gauge exact)
+    D = C.shape[0]
+    _, r = tr.right_fixed_point(ALn, ALn)
+    r = (r + cT(r)) / 2
+    r = r / jnp.trace(r)
+    Cn = jnp.linalg.cholesky(r + 1e-14 * jnp.eye(D, dtype=r.dtype))
+    return ALn, Cn, e
+
+
 @dataclasses.dataclass
 class Trajectory:
     """xmps iTDVP.Trajectory analogue: integrate the TDVP flow and report
@@ -181,6 +227,15 @@ class Trajectory:
 
     def eulerint(self, T: float, n_steps: int):
         """Integrate the flow with a jitted lax.scan of Euler steps."""
+        return self._integrate(T, n_steps, tdvp_step)
+
+    def rk4int(self, T: float, n_steps: int):
+        """Integrate with classical RK4 stages: 4x the per-step cost of
+        `eulerint` but stable at the coarse time steps where explicit Euler
+        stalls at dynamical phase transitions (see `tdvp_step_rk4`)."""
+        return self._integrate(T, n_steps, tdvp_step_rk4)
+
+    def _integrate(self, T: float, n_steps: int, stepper):
         import jax
 
         dt = T / n_steps
@@ -191,7 +246,7 @@ class Trajectory:
         def run(AL, C):
             def step(carry, _):
                 AL, C = carry
-                ALn, Cn, e = tdvp_step(AL, C, h, dt)
+                ALn, Cn, e = stepper(AL, C, h, dt)
                 return (ALn, Cn), (ALn, e)
 
             (ALf, Cf), (ALs, es) = jax.lax.scan(step, (AL, C), None, length=n_steps)

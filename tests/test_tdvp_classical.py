@@ -15,6 +15,7 @@ from qmps_tpu.mps.tdvp import (
     energy_density,
     mixed_gauge,
     tdvp_step,
+    tdvp_step_rk4,
 )
 
 
@@ -72,6 +73,29 @@ def test_quench_loschmidt_vs_exact_rate():
     # deviations sit at 2-7e-3 depending on which (equally good) GS basin
     # the optimizer lands in
     assert np.max(np.abs(rates[sel] - exact)) < 1e-2
+
+
+def test_rk4_matches_euler_and_conserves(key):
+    """RK4 agrees with small-dt Euler over a short horizon, conserves
+    energy, and preserves the left gauge."""
+    h = tfim(0.9).to_matrix()
+    AL, AR, C = mixed_gauge(iMPS.random(key, 2, 4)[0])
+    ALe, Ce = AL, C
+    for _ in range(40):
+        ALe, Ce, _ = tdvp_step(ALe, Ce, h, 0.0025)
+    AL4, C4 = AL, C
+    es = []
+    for _ in range(10):
+        AL4, C4, e = tdvp_step_rk4(AL4, C4, h, 0.01)
+        es.append(float(e))
+    # same physical state: mixed-transfer dominant eigenvalue ~ 1
+    from qmps_tpu.mps import transfer as tr
+
+    lam, _ = tr.right_fixed_point(AL4, ALe)
+    assert abs(float(jnp.abs(lam)) - 1.0) < 1e-4
+    assert abs(es[-1] - es[0]) < 1e-3
+    gauge = sum(np.asarray(AL4[s]).conj().T @ np.asarray(AL4[s]) for s in range(2))
+    np.testing.assert_allclose(gauge, np.eye(4), atol=1e-9)
 
 
 def test_dA_dt_gauge_condition(key):
