@@ -172,12 +172,20 @@ def batched_quench_sweep(
     key=None,
     mesh=None,
     params0=None,
+    engine: str = "dense",
+    pallas_iters: int = 48,
 ):
     """Many quench trajectories as ONE program: vmap the full TDVP stepper
     over a batch of post-quench couplings g1 (optionally shard_map'd over a
     device mesh).  The reference ran each (noise, p) trajectory as a
     separate cluster job (scripts/loschmidt.py:351-382); here the whole
     family advances in lockstep on the accelerator.
+
+    engine="dense" (default): per-trajectory repeated-squaring eigensolve
+    under vmap.  engine="pallas": the trajectories advance in lockstep and
+    every inner gradient iteration's eigensolve is ONE Pallas power-kernel
+    launch over the whole batch (forward) plus one rank-1 implicit-adjoint
+    outer product (backward) — see kernels/pallas_power.dominant_eigval_batched.
 
     Returns (times, loschmidt[len(g1s), n_steps]).
     """
@@ -230,6 +238,62 @@ def batched_quench_sweep(
         return les
 
     p0s = jnp.broadcast_to(params0, (g1s.shape[0],) + params0.shape)
+
+    if engine not in ("dense", "pallas"):
+        raise ValueError(f"engine must be 'dense' or 'pallas', got {engine!r}")
+
+    if engine == "pallas":
+        from ..objectives.overlap import tdvp_objective_pallas
+
+        interpret = jax.default_backend() == "cpu"
+        A0 = unitary_to_tensor(gate(params0))
+        u2t = lambda p: unitary_to_tensor(gate(p))
+
+        def sweep(g1b, p0b):
+            Ws = jax.vmap(make_W)(g1b)
+
+            def loss(ps, As):
+                Bs = jax.vmap(u2t)(ps)
+                return jnp.sum(
+                    tdvp_objective_pallas(As, Bs, Ws, pallas_iters, interpret)
+                )
+
+            vg = jax.value_and_grad(loss)
+
+            def outer(ps, _):
+                As = jax.vmap(u2t)(ps)
+
+                def inner(c, _):
+                    pp, s = c
+                    _, grads = vg(pp, As)
+                    up, s = opt.update(grads, s)
+                    return (optax.apply_updates(pp, up), s), None
+
+                (ps_new, _), _ = jax.lax.scan(
+                    inner, (ps, opt.init(ps)), None, length=inner_steps
+                )
+                Bs = jax.vmap(u2t)(ps_new)
+                ovs = jax.vmap(lambda b: tr.right_fixed_point(b, A0)[0])(Bs)
+                return ps_new, jnp.abs(ovs) ** 2
+
+            _, les = jax.lax.scan(outer, p0b, None, length=n_steps)
+            return les.T  # (batch, n_steps)
+
+        f = sweep
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            # check_vma=False: pallas_call outputs carry no varying-mesh-axis
+            # annotation; the sweep is embarrassingly parallel (no collectives)
+            f = shard_map(
+                f, mesh=mesh, in_specs=(P("sweep"), P("sweep")),
+                out_specs=P("sweep"), check_vma=False,
+            )
+        les = jax.jit(f)(g1s, p0s)
+        times = jnp.arange(1, n_steps + 1) * dt
+        return times, les
+
     f = jax.vmap(one_traj)
     if mesh is not None:
         from jax import shard_map

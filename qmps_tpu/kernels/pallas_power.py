@@ -70,22 +70,107 @@ def _power_kernel(iters: int, mre_ref, mim_ref, lre_ref, lim_ref, vre_ref, vim_r
         vim_ref[i] = vim[i]
 
 
+def _squaring_kernel(iters: int, mre_ref, mim_ref, lre_ref, lim_ref, vre_ref, vim_ref):
+    """Repeated squaring in VMEM: E -> E^(2^iters) (Frobenius-normalized
+    each squaring), eigenvector from the dominant column, eigenvalue from
+    the Rayleigh quotient with the ORIGINAL matrix.
+
+    Converges like the dense squaring path (error ~ |lam2/lam1|^(2^k): machine
+    precision for any nontrivial gap) — unlike plain power iteration, which
+    stalls on near-degenerate spectra — while keeping the whole batch
+    resident in VMEM for the entire solve (one HBM read, one write)."""
+    m_re = [mre_ref[k] for k in range(N * N)]
+    m_im = [mim_ref[k] for k in range(N * N)]
+
+    def body(_, carry):
+        e_re = list(carry[: N * N])
+        e_im = list(carry[N * N :])
+        r_re, r_im = [], []
+        for a in range(N):
+            for b in range(N):
+                sre = jnp.zeros_like(e_re[0])
+                sim = jnp.zeros_like(e_re[0])
+                for k in range(N):
+                    x, y = e_re[a * N + k], e_im[a * N + k]
+                    u, v = e_re[k * N + b], e_im[k * N + b]
+                    sre = sre + x * u - y * v
+                    sim = sim + x * v + y * u
+                r_re.append(sre)
+                r_im.append(sim)
+        n2 = sum(rr * rr + ii * ii for rr, ii in zip(r_re, r_im))
+        inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+        return tuple(rr * inv for rr in r_re) + tuple(ii * inv for ii in r_im)
+
+    carry = jax.lax.fori_loop(0, iters, body, tuple(m_re) + tuple(m_im))
+    e_re, e_im = list(carry[: N * N]), list(carry[N * N :])
+
+    # E^(2^k) ~ lam^(2^k) v w^dag: every column is ~ v.  Tournament-select
+    # the largest-norm column per lane (elementwise where, no gathers).
+    coln = [
+        sum(e_re[i * N + j] ** 2 + e_im[i * N + j] ** 2 for i in range(N))
+        for j in range(N)
+    ]
+    a01 = coln[0] >= coln[1]
+    a23 = coln[2] >= coln[3]
+    nA = jnp.where(a01, coln[0], coln[1])
+    nB = jnp.where(a23, coln[2], coln[3])
+    aAB = nA >= nB
+    vre, vim = [], []
+    for i in range(N):
+        rA = jnp.where(a01, e_re[i * N + 0], e_re[i * N + 1])
+        iA = jnp.where(a01, e_im[i * N + 0], e_im[i * N + 1])
+        rB = jnp.where(a23, e_re[i * N + 2], e_re[i * N + 3])
+        iB = jnp.where(a23, e_im[i * N + 2], e_im[i * N + 3])
+        vre.append(jnp.where(aAB, rA, rB))
+        vim.append(jnp.where(aAB, iA, iB))
+    nrm2 = sum(vre[i] * vre[i] + vim[i] * vim[i] for i in range(N))
+    inv = jax.lax.rsqrt(jnp.maximum(nrm2, 1e-30))
+    vre = [r * inv for r in vre]
+    vim = [i2 * inv for i2 in vim]
+
+    # Rayleigh quotient with the original E (v unit norm): exact at the
+    # converged eigenvector
+    wre, wim = [], []
+    for i in range(N):
+        are = jnp.zeros_like(vre[0])
+        aim = jnp.zeros_like(vre[0])
+        for j in range(N):
+            mr, mi = m_re[i * N + j], m_im[i * N + j]
+            are = are + mr * vre[j] - mi * vim[j]
+            aim = aim + mr * vim[j] + mi * vre[j]
+        wre.append(are)
+        wim.append(aim)
+    lre_ref[:] = sum(vre[i] * wre[i] + vim[i] * wim[i] for i in range(N))
+    lim_ref[:] = sum(vre[i] * wim[i] - vim[i] * wre[i] for i in range(N))
+    for i in range(N):
+        vre_ref[i] = vre[i]
+        vim_ref[i] = vim[i]
+
+
 def dominant_eig_batched_pallas(
     Mre: jnp.ndarray,
     Mim: jnp.ndarray,
     iters: int = 48,
     tile_rows: int = 8,
     interpret: bool = False,
+    method: str = "squaring",
 ):
     """(lam_re, lam_im, v_re, v_im) for component-major real-pair batches.
 
     Mre, Mim: (16, R, 128) with component k = flattened (i, j) = 4 i + j and
     R * 128 the batch size.  Returns lam (R, 128) planes and v (4, R, 128).
+    method="squaring" (default, log2-convergent for any gap) or "power"
+    (cheaper per iteration, needs a healthy spectral gap).
     """
     _, R, lane = Mre.shape
     assert lane == LANE and R % tile_rows == 0
     grid = (R // tile_rows,)
-    kernel = functools.partial(_power_kernel, iters)
+    if method == "squaring":
+        kernel = functools.partial(_squaring_kernel, iters)
+    elif method == "power":
+        kernel = functools.partial(_power_kernel, iters)
+    else:
+        raise ValueError(f"method must be 'squaring' or 'power', got {method!r}")
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -109,26 +194,87 @@ def dominant_eig_batched_pallas(
     )(Mre, Mim)
 
 
-def dominant_eig_batched(E: jnp.ndarray, iters: int = 48, interpret: bool = False):
+def dominant_eig_batched(
+    E: jnp.ndarray,
+    iters: int = 48,
+    interpret: bool = False,
+    method: str = "squaring",
+):
     """Complex convenience wrapper: (B, 4, 4) complex -> (lam, v) complex.
 
-    Handles the component-major relayout and padding internally.
+    Handles the component-major relayout and padding internally.  With the
+    default method="squaring", iters is the number of squarings (~40 reaches
+    f32 machine precision for any nontrivial gap, error ~ |l2/l1|^(2^iters)).
     """
     B = E.shape[0]
     pad = (-B) % (LANE * 8)  # 8-row tiles of 128 lanes
-    if pad:
-        eye = jnp.broadcast_to(jnp.eye(N, dtype=E.dtype), (pad, N, N))
-        E = jnp.concatenate([E, eye], axis=0)
-    Bp = E.shape[0]
+    Bp = B + pad
     R = Bp // LANE
-    # (B, 4, 4) -> (16, R, 128) component-major
-    comp = E.reshape(Bp, N * N).T.reshape(N * N, R, LANE)
+    # (B, 4, 4) -> (16, B) component-major, split into REAL planes before
+    # padding/reconstruction: a complex constant in the program (1j scalar,
+    # broadcast complex eye) hits this TPU backend's unimplemented complex
+    # constant path at RUNTIME (executes-then-poisons the output buffers).
+    comp = E.reshape(B, N * N).T
+    cre = jnp.real(comp).astype(jnp.float32)
+    cim = jnp.imag(comp).astype(jnp.float32)
+    if pad:
+        # zero-pad: pad rows converge to lam = 0 harmlessly (rsqrt is
+        # clamped in-kernel) and are sliced off below
+        cre = jnp.pad(cre, ((0, 0), (0, pad)))
+        cim = jnp.pad(cim, ((0, 0), (0, pad)))
     lre, lim, vre, vim = dominant_eig_batched_pallas(
-        jnp.real(comp).astype(jnp.float32),
-        jnp.imag(comp).astype(jnp.float32),
+        cre.reshape(N * N, R, LANE),
+        cim.reshape(N * N, R, LANE),
         iters=iters,
         interpret=interpret,
+        method=method,
     )
-    lam = (lre + 1j * lim).reshape(Bp)[:B]
-    v = (vre + 1j * vim).reshape(N, Bp).T[:B]
+    lam = jax.lax.complex(lre, lim).reshape(Bp)[:B]
+    v = jax.lax.complex(vre, vim).reshape(N, Bp).T[:B]
     return lam, v
+
+
+# ---------------------------------------------------------------------------
+# Gradient-capable batched eigensolve (Pallas forward, implicit adjoint back)
+# ---------------------------------------------------------------------------
+#
+# The rank-1 eigenvalue adjoint dlam = (w^dag dE v)/(w^dag v) needs BOTH the
+# right eigenvector v (of E) and the left eigenvector w (dominant right
+# eigenvector of E^dag).  One kernel launch on concat(E, E^dag) computes both
+# halves in the same grid — the backward pass is then a pure rank-1 outer
+# product, no extra solves and no differentiation through the power loop.
+# The phase arbitrariness of v, w cancels in the quotient, so the kernel's
+# un-gauged eigenvectors are fine here (unlike the eigen*pair* adjoint, which
+# needs the c-gauge — see mps/transfer.dominant_eigpair_cgauge).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def dominant_eigval_batched(E: jnp.ndarray, iters: int = 48, interpret: bool = False):
+    """Dominant eigenvalues of a (B, 4, 4) complex batch, differentiable.
+
+    Forward: the component-major Pallas power kernel.  Backward: the exact
+    implicit-function adjoint (one rank-1 outer product per batch element).
+    This is the gradient-capable face of the kernel — use it inside batched
+    TDVP objectives; `dominant_eig_batched` stays the raw (non-diff) face.
+    """
+    lam, _ = dominant_eig_batched(E, iters=iters, interpret=interpret)
+    return lam
+
+
+def _dom_eigval_batched_fwd(E, iters, interpret):
+    B = E.shape[0]
+    both = jnp.concatenate([E, jnp.swapaxes(E, -1, -2).conj()], axis=0)
+    lam_both, v_both = dominant_eig_batched(both, iters=iters, interpret=interpret)
+    lam, v = lam_both[:B], v_both[:B]
+    w = v_both[B:]  # E^dag w = conj(lam) w
+    return lam, (v, w, jnp.zeros((), E.dtype))
+
+
+def _dom_eigval_batched_bwd(iters, interpret, res, lam_ct):
+    v, w, dtype_marker = res  # marker carries the primal dtype (kernel is f32)
+    denom = jnp.einsum("bi,bi->b", w.conj(), v)
+    Ebar = (lam_ct / denom)[:, None, None] * w.conj()[:, :, None] * v[:, None, :]
+    return (Ebar.astype(dtype_marker.dtype),)
+
+
+dominant_eigval_batched.defvjp(_dom_eigval_batched_fwd, _dom_eigval_batched_bwd)

@@ -127,30 +127,40 @@ class BrickworkConfig:
 
         rng = np.random.default_rng(0)
 
+        # real/imag planes as jit args; complex built in-program (complex
+        # runtime args fail at execution on the axon backend and the error
+        # is silent under block_until_ready — see bench.py)
         def hu(b, n):
             A = rng.standard_normal((b, n, n)) + 1j * rng.standard_normal((b, n, n))
             Q, _ = np.linalg.qr(A)
-            return jnp.asarray(Q.astype(np.complex64))
+            Q = Q.astype(np.complex64)
+            return Q.real.copy(), Q.imag.copy()
 
-        U1, U2, U1p, U2p = (hu(self.batch, 4) for _ in range(4))
-        M = hu(self.batch, 2)
-        W = hu(1, 16)[0]
+        planes = [hu(self.batch, 4) for _ in range(4)]
+        Mre, Mim = hu(self.batch, 2)
+        Wre, Wim = hu(1, 16)
+        args = [p for pair in planes for p in pair] + [Mre, Mim, Wre[0], Wim[0]]
 
         @jax.jit
-        def f(U1, U2, U1p, U2p, M, W):
+        def f(u1r, u1i, u2r, u2i, p1r, p1i, p2r, p2i, mr, mi, wr, wi):
+            c = jax.lax.complex
+            U1, U2, U1p, U2p = c(u1r, u1i), c(u2r, u2i), c(p1r, p1i), c(p2r, p2i)
+            M, W = c(mr, mi), c(wr, wi)
             return jnp.abs(
                 manifold_overlap_batched(
                     U1, U2, U1p, U2p, M, jnp.swapaxes(M, -1, -2).conj(), W
                 )
             )
 
-        out = f(U1, U2, U1p, U2p, M, W)
+        out = f(*args)
         out.block_until_ready()
+        assert np.all(np.isfinite(np.asarray(out[:4])))  # hard readback check
         t0 = time.perf_counter()
         for _ in range(self.iters):
-            out = f(U1, U2, U1p, U2p, M, W)
+            out = f(*args)
         out.block_until_ready()
         dt = time.perf_counter() - t0
+        assert np.all(np.isfinite(np.asarray(out[:4])))
         return {"overlap_evals_per_sec": self.batch * self.iters / dt, "seconds": dt}
 
 

@@ -1,9 +1,9 @@
 """Pallas TPU kernels, validated in interpreter mode on CPU.
 
-The power-iteration kernel's contract: dominant eigenpair of transfer-map
-batches *with a spectral gap* (physical transfer operators near TDVP use
-have one; adversarial near-degenerate random matrices do not and are out
-of scope)."""
+Two in-kernel eigensolvers: method="squaring" (default; repeated squaring,
+error ~ |l2/l1|^(2^iters) — machine precision for ANY nontrivial gap) and
+method="power" (cheaper per iteration but needs a healthy spectral gap;
+near-degenerate batches are out of its scope)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,13 +31,73 @@ def physical_batch(B, key):
 def test_power_kernel_matches_numpy_eig(key):
     B = 8
     E = np.asarray(physical_batch(B, key)).astype(np.complex64)
-    lam, v = dominant_eig_batched(jnp.asarray(E), iters=96, interpret=True)
+    lam, v = dominant_eig_batched(jnp.asarray(E), iters=96, interpret=True, method="power")
     for b in range(B):
         w, vecs = np.linalg.eig(E[b].astype(np.complex128))
         i = np.argmax(np.abs(w))
         np.testing.assert_allclose(complex(lam[b]), w[i], atol=2e-4)
         ov = abs(np.vdot(np.asarray(v[b]), vecs[:, i]))
         assert ov > 1 - 1e-3
+
+
+def test_squaring_kernel_adversarial_random(key):
+    """The squaring kernel converges even on near-degenerate random
+    matrices where plain power iteration stalls (measured |lam| error 0.018
+    at gap ratio 0.989 with 96 power iterations; squaring: ~1e-7)."""
+    rng = np.random.default_rng(3)
+    E = (rng.normal(size=(8, 4, 4)) + 1j * rng.normal(size=(8, 4, 4))).astype(
+        np.complex64
+    ) / 2
+    lam, v = dominant_eig_batched(jnp.asarray(E), iters=40, interpret=True)
+    for b in range(8):
+        w, vecs = np.linalg.eig(E[b].astype(np.complex128))
+        i = np.argmax(np.abs(w))
+        np.testing.assert_allclose(complex(lam[b]), w[i], atol=5e-6)
+        ov = abs(np.vdot(np.asarray(v[b]), vecs[:, i]))
+        assert ov > 1 - 1e-6
+
+
+def warm_start_pairs(B, key):
+    """(As, Bs): left-canonical D=2 tensors with Bs a small deformation of
+    As — the warm-started TDVP inner-loop regime, where the mixed transfer
+    operator is gapped (the kernel's contract)."""
+    from qmps_tpu.mps.imps import iMPS
+
+    ks = jax.random.split(key, 2 * B)
+    As = jnp.stack([iMPS.random(ks[i], 2, 2).left_canonicalise()[0] for i in range(B)])
+
+    def perturb(a, k):
+        d = 0.05 * (jax.random.normal(k, a.shape) + 1j * jax.random.normal(k, a.shape))
+        return iMPS([a + d]).left_canonicalise()[0]
+
+    Bs = jnp.stack([perturb(As[i], ks[B + i]) for i in range(B)])
+    return As, Bs
+
+
+def test_eigval_custom_vjp_value_and_grad(key):
+    """The gradient-capable face (Pallas forward + rank-1 implicit adjoint)
+    matches the dense repeated-squaring path in value AND gradient to the
+    float32 floor on the warm-started TDVP objective."""
+    import scipy.linalg as sla
+
+    from qmps_tpu.ham import tfim
+    from qmps_tpu.objectives.overlap import tdvp_objective, tdvp_objective_pallas
+
+    B = 8
+    As, Bs = warm_start_pairs(B, key)
+    W = np.asarray(sla.expm(-1j * 0.1 * np.asarray(tfim(1.0).to_matrix())))
+
+    vals_p = tdvp_objective_pallas(As, Bs, W, iters=96, interpret=True)
+    vals_d = jax.vmap(lambda a, b: tdvp_objective(a, b, W))(As, Bs)
+    np.testing.assert_allclose(np.asarray(vals_p), np.asarray(vals_d), atol=5e-6)
+
+    gp = jax.grad(lambda bs: jnp.sum(tdvp_objective_pallas(As, bs, W, 96, True)))(Bs)
+    gd = jax.grad(
+        lambda bs: jnp.sum(jax.vmap(lambda a, b: tdvp_objective(a, b, W))(As, bs))
+    )(Bs)
+    # cotangent dtype must match the (complex128 on CPU) primal
+    assert gp.dtype == Bs.dtype
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), atol=5e-6)
 
 
 def test_power_kernel_padding(key):
