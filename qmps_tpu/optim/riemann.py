@@ -79,24 +79,45 @@ def ground_state_riemannian(
     steps: int = 400,
     lr: float = 0.08,
     key=None,
-    dense_env_max_D: int = 8,
+    dense_env_max_D: int | None = None,
     power_iters: int = 120,
 ):
     """Variational uMPS ground state at bond dimension D, optimizing the
     (d D, D) isometry directly.
 
-    The environment fixed point uses the dense repeated-squaring solver for
-    small D and the matvec power iteration for large D (dense transfer
-    matrices are D^2 x D^2).  Returns (A, energy, history).
+    The environment fixed point uses the dense repeated-squaring solver up
+    to dense_env_max_D and the matvec power iteration above it (dense
+    transfer matrices are D^2 x D^2).  The default is backend-aware:
+    32 on TPU — the dense chain is pure MXU matmuls, the implicit eigenpair
+    adjoint keeps backward memory flat (one bordered solve, no 40-matmul
+    tape), and the matvec path's gmres-based adjoint crashes the axon TPU
+    worker when wrapped in a lax.scan (measured; single evaluations are
+    fine) — and 8 on CPU, where the matvec path is ~13x faster at D=16
+    (measured: 13.5s vs 172s for 300 steps).  Returns (A, energy, history).
     """
+    if dense_env_max_D is None:
+        dense_env_max_D = 32 if jax.default_backend() == "tpu" else 8
     from ..mps import transfer as tr
     from ..mps.imps import merge
 
     d = 2
     key = jax.random.PRNGKey(0) if key is None else key
     k1, k2 = jax.random.split(key)
-    X = jax.random.normal(k1, (d * D, D)) + 1j * jax.random.normal(k2, (d * D, D))
-    V0, _ = jnp.linalg.qr(X.astype(jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64))
+
+    # build V0 INSIDE a jit from real normal draws: eager complex ops (the
+    # 1j scalar constant, eager QR) fail on the axon TPU backend, and the
+    # jitted construction leaves V0 device-resident so no complex H2D
+    # transfer ever happens (also unimplemented there)
+    @jax.jit
+    def _init(xre, xim):
+        V0, _ = jnp.linalg.qr(jax.lax.complex(xre, xim))
+        return V0
+
+    ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    V0 = _init(
+        jax.random.normal(k1, (d * D, D), ftype),
+        jax.random.normal(k2, (d * D, D), ftype),
+    )
 
     dense = D <= dense_env_max_D
 
