@@ -106,7 +106,22 @@ class MPSTimeEvolve:
 
     def evolve(self, params0: jnp.ndarray, n_steps: int, record_ops=(X, Y, Z)) -> EvolveRecord:
         params = jnp.asarray(params0)
-        psi0 = iMPS([self.tensor(params)])
+        gate = self.gate
+        ops = list(record_ops)
+
+        # jitted recording: the per-step tensor build / expectation /
+        # overlap are complex-valued graphs, and eager complex ops fail on
+        # the axon TPU backend (A0 stays device-resident between jits)
+        @jax.jit
+        def init_tensor(p):
+            return unitary_to_tensor(gate(p))
+
+        @jax.jit
+        def record(p, A0):
+            psi_t = iMPS([unitary_to_tensor(gate(p))])
+            return psi_t.Es(ops), psi_t.overlap(iMPS([A0]))
+
+        A0 = init_tensor(params)
         ps, les, evss, errs = [params], [], [], []
         for _ in range(n_steps):
             # step first, then record: loschmidt[k] is the state at
@@ -114,9 +129,9 @@ class MPSTimeEvolve:
             params, err = self.step(params)
             ps.append(params)
             errs.append(err)
-            psi_t = iMPS([self.tensor(params)])
-            evss.append(psi_t.Es(record_ops))
-            les.append(psi_t.overlap(psi0))
+            evs, le = record(params, A0)
+            evss.append(evs)
+            les.append(le)
         return EvolveRecord(
             params=jnp.stack(ps),
             loschmidt=jnp.stack(les),

@@ -83,13 +83,14 @@ def find_ground_state(
         return energy_exact_env(build(p), h)
 
     res = _run(loss, initial_guess, method, steps)
-    U = build(res.x)
+    # jitted final build: eager complex ops fail on the axon TPU backend
+    U, A = jax.jit(lambda p: ((lambda u: (u, unitary_to_tensor(u)))(build(p))))(res.x)
     return GroundStateResult(
         params=res.x,
         energy=float(res.fun),
         history=res.history,
         U=U,
-        A=unitary_to_tensor(U),
+        A=A,
     )
 
 
@@ -100,7 +101,8 @@ def _run(loss, x0, method, steps) -> OptResult:
         return minimize_lbfgs(loss, x0, steps=steps)
     if method == "rotosolve":
         x, hist = rotosolve(loss, x0, n_sweeps=max(1, steps // 10))
-        return OptResult(x=x, fun=float(loss(x)), history=hist, nit=steps)
+        # jitted final evaluation: eager complex ops fail on the axon backend
+        return OptResult(x=x, fun=float(jax.jit(loss)(x)), history=hist, nit=steps)
     return minimize_scipy(loss, x0, method=method)
 
 

@@ -64,5 +64,7 @@ def _f(z, g0, g1) -> jnp.ndarray:
 def loschmidt_rate(t, g0, g1) -> jnp.ndarray:
     """Exact rate function lambda(t) = f(it) + f(-it) of the Loschmidt echo
     after a g0 -> g1 quench."""
-    t = jnp.asarray(t, jnp.complex128)
+    from ..config import CDTYPE
+
+    t = jnp.asarray(t, CDTYPE)  # c128 in x64 mode, c64 on TPU (no c128 there)
     return jnp.real(_f(1j * t, g0, g1) + _f(-1j * t, g0, g1))

@@ -54,7 +54,7 @@ def minimize_adam(
     x, hist = run(x0)
     return OptResult(
         x=x,
-        fun=float(loss(x)),
+        fun=float(jax.jit(loss)(x)),  # jitted: eager complex ops fail on axon
         history=hist if store_values else None,
         nit=steps,
         message="adam/scan completed",
@@ -87,7 +87,7 @@ def minimize_lbfgs(
     x, hist = run(x0)
     return OptResult(
         x=x,
-        fun=float(loss(x)),
+        fun=float(jax.jit(loss)(x)),  # jitted: eager complex ops fail on axon
         history=hist if store_values else None,
         nit=steps,
         message="lbfgs/scan completed",

@@ -139,7 +139,12 @@ class BrickworkConfig:
         planes = [hu(self.batch, 4) for _ in range(4)]
         Mre, Mim = hu(self.batch, 2)
         Wre, Wim = hu(1, 16)
-        args = [p for pair in planes for p in pair] + [Mre, Mim, Wre[0], Wim[0]]
+        # device-resident args: numpy args re-transfer through the remote
+        # tunnel on every call and the loop times H2D instead of compute
+        args = jax.device_put(
+            [p for pair in planes for p in pair] + [Mre, Mim, Wre[0], Wim[0]]
+        )
+        jax.block_until_ready(args)
 
         @jax.jit
         def f(u1r, u1i, u2r, u2i, p1r, p1i, p2r, p2i, mr, mi, wr, wi):
