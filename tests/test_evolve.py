@@ -59,3 +59,18 @@ def test_quench_matches_classical_tdvp_and_exact():
     assert np.max(np.abs(got - exact)) < 0.02
     # and it should track the classical engine more tightly than the oracle
     assert got[-1] > 0.1  # rate has clearly risen by t=0.8
+
+
+def test_engine_and_shape_validation(key):
+    """Unknown engine names and non-D=2 tensors are rejected loudly (a
+    typo'd engine used to fall through silently to the dense path)."""
+    from qmps_tpu.algorithms.evolve import batched_quench_sweep
+    from qmps_tpu.mps.imps import iMPS
+    from qmps_tpu.objectives.overlap import tdvp_objective_pallas
+
+    with pytest.raises(ValueError, match="engine"):
+        batched_quench_sweep(1.5, [0.2], 0.1, 1, inner_steps=1, gs_steps=2, engine="palas")
+
+    A = jnp.stack([iMPS.random(key, 2, 4).left_canonicalise()[0]])
+    with pytest.raises(ValueError, match="D=2"):
+        tdvp_objective_pallas(A, A, np.eye(16), iters=2, interpret=True)
