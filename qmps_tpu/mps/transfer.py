@@ -175,17 +175,29 @@ def _eigpair_bwd(res, cts):
 dominant_eigpair_cgauge.defvjp(_eigpair_fwd, _eigpair_bwd)
 
 
+def _krylov_dims(n: int, iters: int) -> tuple[int, int]:
+    """(k, restarts) for an Arnoldi budget of ~iters matvecs."""
+    k = min(n, 48)
+    restarts = max(2, iters // max(k, 1))
+    return k, restarts
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _right_eigpair_matvec(A: jnp.ndarray, B: jnp.ndarray, iters: int):
     """(lam, vec(r)) of the mixed transfer map in matvec form (large D),
-    c-gauged like the dense version; implicit adjoint via power iteration
-    on the adjoint map + a gmres bordered solve (the backward pass never
-    differentiates the iteration)."""
+    c-gauged like the dense version; forward = restarted Arnoldi (resolves
+    near-degenerate spectra where power iteration stalls), implicit adjoint
+    via a fixed-shape bordered GMRES solve (the backward pass never
+    differentiates the iteration and never materializes the dense E)."""
+    from ..core.krylov import dominant_eigpair_arnoldi
+
     D1, D2 = A.shape[1], B.shape[1]
-    lam, v = dominant_eig_power(
+    k, restarts = _krylov_dims(D1 * D2, iters)
+    lam, v = dominant_eigpair_arnoldi(
         lambda r: right_matvec(A, B, r.reshape(D1, D2)).reshape(-1),
         jnp.eye(max(D1, D2), dtype=A.dtype)[:D1, :D2].reshape(-1),
-        iters=iters,
+        k=k,
+        restarts=restarts,
     )
     c = _chirp(D1 * D2, A.dtype)
     return lam, v / (c @ v)
@@ -197,7 +209,7 @@ def _rem_fwd(A, B, iters):
 
 
 def _rem_bwd(iters, res, cts):
-    from jax.scipy.sparse.linalg import gmres
+    from ..core.krylov import gmres_solve
 
     A, B, lam, v = res
     lam_ct, v_ct = cts
@@ -220,7 +232,8 @@ def _rem_bwd(iters, res, cts):
         return jnp.concatenate([top, jnp.reshape(bot, (1,))])
 
     rhs = jnp.concatenate([v_ct, jnp.reshape(lam_ct, (1,))])
-    sol, _ = gmres(op, rhs, tol=1e-10, atol=1e-10, maxiter=400, restart=60)
+    k, restarts = _krylov_dims(n + 1, max(iters, 400))
+    sol, _ = gmres_solve(op, rhs, k=k, restarts=restarts)
     xi = sol[:n].reshape(D1, D2)
     rmat = v.reshape(D1, D2)
     # <Ebar, dE> with dE v = vec(dA r B^dag + A r dB^dag):
@@ -264,10 +277,14 @@ def left_fixed_point(A: jnp.ndarray, B: jnp.ndarray, dense: bool = True, iters: 
         E = transfer_dense(Ad, Bd)
         lam, v = dominant_eigpair_cgauge(E, _chirp(D1 * D2, E.dtype))
     else:
-        lam, v = dominant_eig_power(
+        from ..core.krylov import dominant_eigpair_arnoldi
+
+        k, restarts = _krylov_dims(D1 * D2, max(iters, 200))
+        lam, v = dominant_eigpair_arnoldi(
             lambda l: left_matvec(A, B, l.reshape(D1, D2)).reshape(-1),
             jnp.eye(max(D1, D2), dtype=A.dtype)[:D1, :D2].reshape(-1),
-            iters=max(iters, 200),
+            k=k,
+            restarts=restarts,
         )
     l = rotate_to_hermitian(v.reshape(D1, D2))
     return lam, l / jnp.linalg.norm(l)
