@@ -1,38 +1,60 @@
-"""Pallas TPU kernel: batched dominant eigenpair of small transfer matrices.
+"""Pallas TPU kernels: batched dominant eigenpair of small transfer matrices.
 
-The environment solve at D=2 is a dominant-eigenpair problem for a batch of
-4x4 complex transfer matrices — the inner kernel of vmapped TDVP sweeps
-(one solve per objective evaluation per sweep point).  This kernel runs the
-whole power iteration in VMEM: one HBM read of the batch, ``iters`` fused
-VPU sweeps, one HBM write.
+The environment solve is a dominant-eigenpair problem for a batch of N x N
+complex transfer matrices, N = D^2 — the inner kernel of vmapped TDVP
+sweeps (one solve per objective evaluation per sweep point).  These kernels
+run the whole solve in VMEM: one HBM read of the batch, ``iters`` fused
+sweeps, one HBM write.  Two regimes:
 
-TPU-native layout (the thing that matters): complex is two real planes and
-the matrix is stored COMPONENT-MAJOR, shape (16, B/128, 128), so every
-arithmetic op in the kernel is an elementwise (rows, 128) tile op — no
-tiny trailing dims, no relayouts.  (The naive (B, 4, 4) layout compiles
-for >9 minutes on this backend; this one compiles in seconds.)
+- **component-major VPU kernel (N = 4, i.e. D = 2)**: complex is two real
+  planes and the matrix is stored COMPONENT-MAJOR, shape (16, B/128, 128),
+  so every arithmetic op is an elementwise (rows, 128) tile op — no tiny
+  trailing dims, no relayouts.  (The naive (B, 4, 4) layout compiles for
+  >9 minutes on this backend; this one compiles in seconds.  The same
+  unrolled-plane-ops trick at N = 16 is a 4096-op loop body that itself
+  stalls compilation — hence the cutover below.)
+- **MXU squaring kernel (N >= 16, i.e. D = 4+)**: per batch element the
+  (N, N) matrix is squared in VMEM with real 2D matmuls on the MXU; the
+  kernel returns the converged power E^(2^iters) and the (cheap, one-pass)
+  eigenpair extraction happens in XLA outside.
+
+Replaces the reference's per-point dense ``scipy.linalg.eig`` environment
+solve (new_tdvp/ClassicalTDVPStripped.py:424-431).
 """
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-N = 4  # matrix dimension (D^2 for D = 2)
 LANE = 128
+#: largest N handled by the component-major VPU kernels (unrolled at N=4,
+#: contraction-looped above — the unrolled N^3 body at N=16 is 4096 ops and
+#: stalls both Mosaic and interpret-mode XLA compile); beyond this the MXU
+#: squaring kernel takes over.
+MAX_COMPONENT_N = 16
 
 
-def _power_kernel(iters: int, mre_ref, mim_ref, lre_ref, lim_ref, vre_ref, vim_ref):
-    # refs: m*(16, TR, LANE); outputs l*(TR, LANE), v*(4, TR, LANE)
+def _chirps(N: int):
+    """Two fixed pseudo-random start vectors as python scalar pairs
+    (Mosaic forbids captured constant arrays; scalars inline fine)."""
+    c1 = [(math.cos(0.7 * j + 0.3), math.sin(1.3 * j + 1.1)) for j in range(N)]
+    c2 = [(math.cos(1.9 * j + 0.8), math.sin(0.5 * j + 2.0)) for j in range(N)]
+    return c1, c2
+
+
+def _power_kernel(N, iters, mre_ref, mim_ref, lre_ref, lim_ref, vre_ref, vim_ref):
+    # refs: m*(N*N, TR, LANE); outputs l*(TR, LANE), v*(N, TR, LANE)
     m_re = [mre_ref[k] for k in range(N * N)]  # each (TR, LANE)
     m_im = [mim_ref[k] for k in range(N * N)]
 
     # data-dependent start: column 0 of M plus a small dither
-    dither = (0.37, -0.21, 0.11, 0.05)
-    vre = [m_re[i * N + 0] + dither[i] for i in range(N)]
+    vre = [m_re[i * N + 0] + 0.37 * math.cos(1.7 * i + 0.3) for i in range(N)]
     vim = [m_im[i * N + 0] for i in range(N)]
 
     def matvec(vre, vim):
@@ -61,24 +83,23 @@ def _power_kernel(iters: int, mre_ref, mim_ref, lre_ref, lim_ref, vre_ref, vim_r
 
     # Rayleigh quotient lam = v^dag (M v) (v unit norm)
     wre, wim = matvec(vre, vim)
-    lre = sum(vre[i] * wre[i] + vim[i] * wim[i] for i in range(N))
-    lim = sum(vre[i] * wim[i] - vim[i] * wre[i] for i in range(N))
-    lre_ref[:] = lre
-    lim_ref[:] = lim
+    lre_ref[:] = sum(vre[i] * wre[i] + vim[i] * wim[i] for i in range(N))
+    lim_ref[:] = sum(vre[i] * wim[i] - vim[i] * wre[i] for i in range(N))
     for i in range(N):
         vre_ref[i] = vre[i]
         vim_ref[i] = vim[i]
 
 
-def _squaring_kernel(iters: int, mre_ref, mim_ref, lre_ref, lim_ref, vre_ref, vim_ref):
+def _squaring_kernel(N, iters, mre_ref, mim_ref, lre_ref, lim_ref, vre_ref, vim_ref):
     """Repeated squaring in VMEM: E -> E^(2^iters) (Frobenius-normalized
-    each squaring), eigenvector from the dominant column, eigenvalue from
-    the Rayleigh quotient with the ORIGINAL matrix.
+    each squaring), eigenvector by applying the converged power to two fixed
+    chirp vectors (pick the larger per lane — elementwise, no gathers),
+    eigenvalue from the Rayleigh quotient with the ORIGINAL matrix.
 
-    Converges like the dense squaring path (error ~ |lam2/lam1|^(2^k): machine
-    precision for any nontrivial gap) — unlike plain power iteration, which
-    stalls on near-degenerate spectra — while keeping the whole batch
-    resident in VMEM for the entire solve (one HBM read, one write)."""
+    Converges like the dense squaring path (error ~ |lam2/lam1|^(2^k):
+    machine precision for any nontrivial gap) — unlike plain power
+    iteration, which stalls on near-degenerate spectra — while keeping the
+    whole batch resident in VMEM for the entire solve."""
     m_re = [mre_ref[k] for k in range(N * N)]
     m_im = [mim_ref[k] for k in range(N * N)]
 
@@ -104,25 +125,31 @@ def _squaring_kernel(iters: int, mre_ref, mim_ref, lre_ref, lim_ref, vre_ref, vi
     carry = jax.lax.fori_loop(0, iters, body, tuple(m_re) + tuple(m_im))
     e_re, e_im = list(carry[: N * N]), list(carry[N * N :])
 
-    # E^(2^k) ~ lam^(2^k) v w^dag: every column is ~ v.  Tournament-select
-    # the largest-norm column per lane (elementwise where, no gathers).
-    coln = [
-        sum(e_re[i * N + j] ** 2 + e_im[i * N + j] ** 2 for i in range(N))
-        for j in range(N)
-    ]
-    a01 = coln[0] >= coln[1]
-    a23 = coln[2] >= coln[3]
-    nA = jnp.where(a01, coln[0], coln[1])
-    nB = jnp.where(a23, coln[2], coln[3])
-    aAB = nA >= nB
-    vre, vim = [], []
-    for i in range(N):
-        rA = jnp.where(a01, e_re[i * N + 0], e_re[i * N + 1])
-        iA = jnp.where(a01, e_im[i * N + 0], e_im[i * N + 1])
-        rB = jnp.where(a23, e_re[i * N + 2], e_re[i * N + 3])
-        iB = jnp.where(a23, e_im[i * N + 2], e_im[i * N + 3])
-        vre.append(jnp.where(aAB, rA, rB))
-        vim.append(jnp.where(aAB, iA, iB))
+    # E^(2^k) ~ lam^(2^k) v w^dag: applying it to any vector not orthogonal
+    # to w yields v.  Use two fixed chirps and keep the larger result.
+    c1, c2 = _chirps(N)
+
+    def apply_chirp(c):
+        vre, vim = [], []
+        for i in range(N):
+            are = jnp.zeros_like(e_re[0])
+            aim = jnp.zeros_like(e_re[0])
+            for j in range(N):
+                cr, ci = c[j]
+                x, y = e_re[i * N + j], e_im[i * N + j]
+                are = are + x * cr - y * ci
+                aim = aim + x * ci + y * cr
+            vre.append(are)
+            vim.append(aim)
+        return vre, vim
+
+    v1re, v1im = apply_chirp(c1)
+    v2re, v2im = apply_chirp(c2)
+    n1 = sum(r * r + i2 * i2 for r, i2 in zip(v1re, v1im))
+    n2 = sum(r * r + i2 * i2 for r, i2 in zip(v2re, v2im))
+    use1 = n1 >= n2
+    vre = [jnp.where(use1, a, b) for a, b in zip(v1re, v2re)]
+    vim = [jnp.where(use1, a, b) for a, b in zip(v1im, v2im)]
     nrm2 = sum(vre[i] * vre[i] + vim[i] * vim[i] for i in range(N))
     inv = jax.lax.rsqrt(jnp.maximum(nrm2, 1e-30))
     vre = [r * inv for r in vre]
@@ -151,24 +178,28 @@ def dominant_eig_batched_pallas(
     Mre: jnp.ndarray,
     Mim: jnp.ndarray,
     iters: int = 48,
-    tile_rows: int = 8,
+    tile_rows: int | None = None,
     interpret: bool = False,
     method: str = "squaring",
 ):
     """(lam_re, lam_im, v_re, v_im) for component-major real-pair batches.
 
-    Mre, Mim: (16, R, 128) with component k = flattened (i, j) = 4 i + j and
-    R * 128 the batch size.  Returns lam (R, 128) planes and v (4, R, 128).
+    Mre, Mim: (N^2, R, 128) with component k = flattened (i, j) = N i + j and
+    R * 128 the batch size.  Returns lam (R, 128) planes and v (N, R, 128).
     method="squaring" (default, log2-convergent for any gap) or "power"
     (cheaper per iteration, needs a healthy spectral gap).
     """
-    _, R, lane = Mre.shape
+    NN, R, lane = Mre.shape
+    N = int(NN**0.5 + 0.5)
+    assert N * N == NN and N <= 4, "in-kernel extraction kernels are N=4 only"
+    if tile_rows is None:
+        tile_rows = _default_tile_rows(N)
     assert lane == LANE and R % tile_rows == 0
     grid = (R // tile_rows,)
     if method == "squaring":
-        kernel = functools.partial(_squaring_kernel, iters)
+        kernel = functools.partial(_squaring_kernel, N, iters)
     elif method == "power":
-        kernel = functools.partial(_power_kernel, iters)
+        kernel = functools.partial(_power_kernel, N, iters)
     else:
         raise ValueError(f"method must be 'squaring' or 'power', got {method!r}")
     return pl.pallas_call(
@@ -194,23 +225,239 @@ def dominant_eig_batched_pallas(
     )(Mre, Mim)
 
 
+def _default_tile_rows(N: int) -> int:
+    # Mosaic requires the sublane dim divisible by 8; VMEM working set is
+    # ~3 copies of N^2 planes of (8, 128) f32 pairs (4 MB/copy at N=16).
+    return 8
+
+
+def _matpow_kernel_looped(N, iters, mre_ref, mim_ref, ore_ref, oim_ref, ar_ref, ai_ref):
+    """Component-major repeated squaring with a fori_loop over the
+    contraction index: the loop body is ONE broadcast complex FMA on
+    (N, N, TR, LANE) planes instead of N^3 unrolled ops — compile time is
+    O(1) in N.  Used for 4 < N <= 16 (D = 3..4), where the unrolled body
+    stalls compilation but the matrices are too small to feed the MXU.
+
+    The OUTPUT refs double as the squaring carry (VMEM economy: in + out +
+    one scratch accumulator); eigenpair extraction from the converged power
+    happens outside in XLA (one matvec per element — see _extract_eigpair).
+    All dynamic indexing is on REFS via pl.ds (Mosaic cannot lower
+    dynamic_slice on loaded arrays)."""
+    # Per-ELEMENT Frobenius normalization each squaring (axis (0, 1) over
+    # the component planes, keeping the (TR, LANE) batch lanes): a scale
+    # shared across batch elements would underflow every non-max element
+    # after the ^(2^iters) amplification.
+    r0 = mre_ref[...]
+    i0 = mim_ref[...]
+    n2 = jnp.sum(r0 * r0 + i0 * i0, axis=(0, 1), keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+    ore_ref[...] = r0 * inv
+    oim_ref[...] = i0 * inv
+
+    def outer(_, carry):
+        ar_ref[...] = jnp.zeros_like(ar_ref)
+        ai_ref[...] = jnp.zeros_like(ai_ref)
+
+        def inner(k, c):
+            lr = ore_ref[:, pl.ds(k, 1)]  # E[:, k] -> (N, 1, TR, LANE)
+            li = oim_ref[:, pl.ds(k, 1)]
+            rr = ore_ref[pl.ds(k, 1)]  # E[k, :] -> (1, N, TR, LANE)
+            ri = oim_ref[pl.ds(k, 1)]
+            ar_ref[...] += lr * rr - li * ri
+            ai_ref[...] += lr * ri + li * rr
+            return c
+
+        jax.lax.fori_loop(0, N, inner, 0)
+        rr = ar_ref[...]
+        ri = ai_ref[...]
+        n2 = jnp.sum(rr * rr + ri * ri, axis=(0, 1), keepdims=True)
+        inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+        ore_ref[...] = rr * inv
+        oim_ref[...] = ri * inv
+        return carry
+
+    jax.lax.fori_loop(0, iters, outer, 0)
+
+
+def _matrix_power_batched_component(
+    Ere: jnp.ndarray, Eim: jnp.ndarray, iters: int, tile_rows: int = 8, interpret: bool = False
+):
+    """(N, N, R, 128) real planes -> normalized E^(2^iters) planes via the
+    looped component-major kernel.  One grid step per tile_rows batch rows;
+    normalization is per batch element (per lane)."""
+    N = Ere.shape[0]
+    R = Ere.shape[2]
+    grid = (R // tile_rows,)
+    kernel = functools.partial(_matpow_kernel_looped, N, iters)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N, N, tile_rows, LANE), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N, tile_rows, LANE), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, N, tile_rows, LANE), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N, tile_rows, LANE), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(Ere.shape, Ere.dtype),
+            jax.ShapeDtypeStruct(Ere.shape, Ere.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, N, tile_rows, LANE), Ere.dtype),
+            pltpu.VMEM((N, N, tile_rows, LANE), Ere.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Ere, Eim)
+
+
+# ---------------------------------------------------------------------------
+# MXU squaring kernel for N >= 32 (D >= 8 blocked transfers)
+# ---------------------------------------------------------------------------
+
+
+def _squaring_kernel_mxu(bt, iters, mre_ref, mim_ref, ore_ref, oim_ref):
+    """Per batch element: (N, N) complex repeated squaring as four real MXU
+    matmuls per iteration, all iterations resident in VMEM.  Outputs the
+    Frobenius-normalized converged power E^(2^iters); eigenpair extraction
+    (one matvec) happens outside in XLA."""
+    for t in range(bt):
+        re0 = mre_ref[t]
+        im0 = mim_ref[t]
+        n2 = jnp.sum(re0 * re0 + im0 * im0)
+        inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+
+        def body(_, carry):
+            re, im = carry
+            rr = jnp.dot(re, re, preferred_element_type=jnp.float32) - jnp.dot(
+                im, im, preferred_element_type=jnp.float32
+            )
+            ri = jnp.dot(re, im, preferred_element_type=jnp.float32) + jnp.dot(
+                im, re, preferred_element_type=jnp.float32
+            )
+            n2 = jnp.sum(rr * rr + ri * ri)
+            inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+            return rr * inv, ri * inv
+
+        re, im = jax.lax.fori_loop(0, iters, body, (re0 * inv, im0 * inv))
+        ore_ref[t] = re
+        oim_ref[t] = im
+
+
+def _matrix_power_batched_mxu(
+    Ere: jnp.ndarray, Eim: jnp.ndarray, iters: int, bt: int = 8, interpret: bool = False
+):
+    """(B, N, N) real planes -> normalized E^(2^iters) planes via the MXU
+    kernel.  B must be a multiple of bt."""
+    B, N, _ = Ere.shape
+    grid = (B // bt,)
+    kernel = functools.partial(_squaring_kernel_mxu, bt, iters)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, N, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, N, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, N, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, N, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, N), Ere.dtype),
+            jax.ShapeDtypeStruct((B, N, N), Ere.dtype),
+        ],
+        interpret=interpret,
+    )(Ere, Eim)
+
+
+def _np_chirp(N: int) -> tuple[np.ndarray, np.ndarray]:
+    c1, c2 = _chirps(N)
+    return np.array(c1, np.float32), np.array(c2, np.float32)  # each (N, 2)
+
+
+def _extract_eigpair(E: jnp.ndarray, Mre: jnp.ndarray, Mim: jnp.ndarray):
+    """XLA-side eigenpair extraction from the converged power M = E^(2^k):
+    v = M c (two chirp candidates, larger norm wins), lam = v^dag E v."""
+    N = E.shape[-1]
+    c1, c2 = _np_chirp(N)
+
+    def apply(cre_cim):
+        cre, cim = cre_cim[:, 0], cre_cim[:, 1]
+        vre = Mre @ cre - Mim @ cim
+        vim = Mre @ cim + Mim @ cre
+        return jax.lax.complex(vre, vim)
+
+    v1 = apply(c1)
+    v2 = apply(c2)
+    n1 = jnp.sum(jnp.abs(v1) ** 2, axis=-1, keepdims=True)
+    n2 = jnp.sum(jnp.abs(v2) ** 2, axis=-1, keepdims=True)
+    v = jnp.where(n1 >= n2, v1, v2)
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    lam = jnp.einsum("bi,bij,bj->b", v.conj(), E, v)
+    return lam, v
+
+
 def dominant_eig_batched(
     E: jnp.ndarray,
     iters: int = 48,
     interpret: bool = False,
     method: str = "squaring",
 ):
-    """Complex convenience wrapper: (B, 4, 4) complex -> (lam, v) complex.
+    """Complex convenience wrapper: (B, N, N) complex -> (lam, v) complex.
 
-    Handles the component-major relayout and padding internally.  With the
-    default method="squaring", iters is the number of squarings (~40 reaches
-    f32 machine precision for any nontrivial gap, error ~ |l2/l1|^(2^iters)).
+    N = 4 dispatches to the component-major VPU kernel (handles the
+    relayout and padding internally); larger N to the MXU squaring kernel.
+    With the default method="squaring", iters is the number of squarings
+    (~40 reaches f32 machine precision for any nontrivial gap, error ~
+    |l2/l1|^(2^iters)).
     """
-    B = E.shape[0]
-    pad = (-B) % (LANE * 8)  # 8-row tiles of 128 lanes
+    B, N = E.shape[0], E.shape[-1]
+    if N > 4:
+        if method != "squaring":
+            raise ValueError("the N > 4 paths implement method='squaring' only")
+        if N > MAX_COMPONENT_N:
+            # MXU squaring, batch-major
+            bt = 8
+            pad = (-B) % bt
+            Ere = jnp.real(E).astype(jnp.float32)
+            Eim = jnp.imag(E).astype(jnp.float32)
+            if pad:
+                Ere = jnp.pad(Ere, ((0, pad), (0, 0), (0, 0)))
+                Eim = jnp.pad(Eim, ((0, pad), (0, 0), (0, 0)))
+            Mre, Mim = _matrix_power_batched_mxu(
+                Ere, Eim, iters, bt=bt, interpret=interpret
+            )
+            return _extract_eigpair(E, Mre[:B], Mim[:B])
+        # looped component-major squaring (4 < N <= 16)
+        tile_rows = _default_tile_rows(N)
+        pad = (-B) % (LANE * tile_rows)
+        Bp = B + pad
+        R = Bp // LANE
+        comp = E.reshape(B, N * N).T
+        cre = jnp.real(comp).astype(jnp.float32)
+        cim = jnp.imag(comp).astype(jnp.float32)
+        if pad:
+            cre = jnp.pad(cre, ((0, 0), (0, pad)))
+            cim = jnp.pad(cim, ((0, 0), (0, pad)))
+        Mre4, Mim4 = _matrix_power_batched_component(
+            cre.reshape(N, N, R, LANE),
+            cim.reshape(N, N, R, LANE),
+            iters,
+            tile_rows=tile_rows,
+            interpret=interpret,
+        )
+        Mre = Mre4.reshape(N * N, Bp).T[:B].reshape(B, N, N)
+        Mim = Mim4.reshape(N * N, Bp).T[:B].reshape(B, N, N)
+        return _extract_eigpair(E, Mre, Mim)
+
+    tile_rows = _default_tile_rows(N)
+    pad = (-B) % (LANE * tile_rows)
     Bp = B + pad
     R = Bp // LANE
-    # (B, 4, 4) -> (16, B) component-major, split into REAL planes before
+    # (B, N, N) -> (N^2, B) component-major, split into REAL planes before
     # padding/reconstruction: a complex constant in the program (1j scalar,
     # broadcast complex eye) hits this TPU backend's unimplemented complex
     # constant path at RUNTIME (executes-then-poisons the output buffers).
@@ -226,6 +473,7 @@ def dominant_eig_batched(
         cre.reshape(N * N, R, LANE),
         cim.reshape(N * N, R, LANE),
         iters=iters,
+        tile_rows=tile_rows,
         interpret=interpret,
         method=method,
     )
@@ -250,12 +498,13 @@ def dominant_eig_batched(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def dominant_eigval_batched(E: jnp.ndarray, iters: int = 48, interpret: bool = False):
-    """Dominant eigenvalues of a (B, 4, 4) complex batch, differentiable.
+    """Dominant eigenvalues of a (B, N, N) complex batch, differentiable.
 
-    Forward: the component-major Pallas power kernel.  Backward: the exact
-    implicit-function adjoint (one rank-1 outer product per batch element).
-    This is the gradient-capable face of the kernel — use it inside batched
-    TDVP objectives; `dominant_eig_batched` stays the raw (non-diff) face.
+    Forward: the Pallas eigensolver (component-major kernel for N <= 16,
+    MXU squaring for larger).  Backward: the exact implicit-function adjoint
+    (one rank-1 outer product per batch element).  This is the
+    gradient-capable face of the kernel — use it inside batched TDVP
+    objectives; `dominant_eig_batched` stays the raw (non-diff) face.
     """
     lam, _ = dominant_eig_batched(E, iters=iters, interpret=interpret)
     return lam

@@ -54,27 +54,22 @@ def tdvp_objective_pallas(
     iters: int = 48,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Batched fast TDVP objective with the Pallas power kernel as the inner
-    eigensolver: (B, 2, D, D) x (B, 2, D, D) -> (B,) of -|x|.
+    """Batched fast TDVP objective with the Pallas eigensolver as the inner
+    kernel: (B, 2, D, D) x (B, 2, D, D) -> (B,) of -|x|.
 
-    D must be 2 (blocked mixed transfer is 4x4, the kernel's tile shape).
-    W may be a single (4, 4) Trotter gate or a per-trajectory (B, 4, 4)
-    batch (one gate per quench coupling).  The transfer-matrix construction
-    is ordinary traced XLA (vmapped flat contractions); only the eigensolve
-    runs in the kernel, and its gradient is the exact rank-1 implicit
-    adjoint — so `jax.grad` of a sum of these objectives is one kernel
-    launch forward, one backward, per sweep step.  Matches
-    `vmap(tdvp_objective)` to solver precision (see tests).
+    The blocked mixed transfer is D^2 x D^2: D = 2 and D = 4 run the
+    component-major VPU kernel, D >= 8 the MXU squaring kernel (see
+    kernels/pallas_power.py).  W may be a single (4, 4) Trotter gate or a
+    per-trajectory (B, 4, 4) batch (one gate per quench coupling).  The
+    transfer-matrix construction is ordinary traced XLA (vmapped flat
+    contractions); only the eigensolve runs in the kernel, and its gradient
+    is the exact rank-1 implicit adjoint — so `jax.grad` of a sum of these
+    objectives is one kernel launch forward, one backward, per sweep step.
+    Matches `vmap(tdvp_objective)` to solver precision (see tests).
     """
     import jax
 
     from ..kernels.pallas_power import dominant_eigval_batched
-
-    if As.shape[-1] != 2:
-        raise ValueError(
-            f"tdvp_objective_pallas needs D=2 tensors (4x4 blocked transfer, "
-            f"the kernel tile); got D={As.shape[-1]}. Use tdvp_objective for larger D."
-        )
 
     def build_E(A, B, Wb):
         WAA, BB = mixed_transfer_with_gate(A, B, Wb)

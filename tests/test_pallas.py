@@ -100,6 +100,67 @@ def test_eigval_custom_vjp_value_and_grad(key):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), atol=5e-6)
 
 
+@pytest.mark.parametrize("N", [16, 64])
+def test_squaring_kernel_general_N(N):
+    """The generalized kernels (component-major at N=16, MXU at N=64) match
+    numpy eig on random batches."""
+    rng = np.random.default_rng(7)
+    E = (rng.normal(size=(6, N, N)) + 1j * rng.normal(size=(6, N, N))).astype(
+        np.complex64
+    ) / np.sqrt(N)
+    lam, v = dominant_eig_batched(jnp.asarray(E), iters=40, interpret=True)
+    assert lam.shape == (6,) and v.shape == (6, N)
+    for b in range(6):
+        w, vecs = np.linalg.eig(E[b].astype(np.complex128))
+        i = np.argmax(np.abs(w))
+        np.testing.assert_allclose(complex(lam[b]), w[i], atol=2e-5)
+        ov = abs(np.vdot(np.asarray(v[b]), vecs[:, i]))
+        assert ov > 1 - 1e-5
+
+
+@pytest.mark.parametrize("D", [4, 8])
+def test_tdvp_objective_pallas_larger_D(key, D):
+    """tdvp_objective_pallas matches the dense path in value and gradient at
+    D=4 (component-major kernel) and D=8 (MXU kernel)."""
+    import scipy.linalg as sla
+
+    from qmps_tpu.ham import tfim
+    from qmps_tpu.mps.imps import iMPS
+    from qmps_tpu.objectives.overlap import tdvp_objective, tdvp_objective_pallas
+
+    B = 4
+    ks = jax.random.split(key, 2 * B)
+    As = jnp.stack(
+        [iMPS.random(ks[i], 2, D).left_canonicalise()[0] for i in range(B)]
+    )
+    Bs = jnp.stack(
+        [
+            iMPS(
+                [
+                    As[i]
+                    + 0.03
+                    * (
+                        jax.random.normal(ks[B + i], As[i].shape)
+                        + 1j * jax.random.normal(jax.random.fold_in(ks[B + i], 1), As[i].shape)
+                    )
+                ]
+            ).left_canonicalise()[0]
+            for i in range(B)
+        ]
+    )
+    W = np.asarray(sla.expm(-1j * 0.1 * np.asarray(tfim(1.0).to_matrix())))
+
+    vals_p = tdvp_objective_pallas(As, Bs, W, iters=48, interpret=True)
+    vals_d = jax.vmap(lambda a, b: tdvp_objective(a, b, W))(As, Bs)
+    np.testing.assert_allclose(np.asarray(vals_p), np.asarray(vals_d), atol=5e-6)
+
+    gp = jax.grad(lambda bs: jnp.sum(tdvp_objective_pallas(As, bs, W, 48, True)))(Bs)
+    gd = jax.grad(
+        lambda bs: jnp.sum(jax.vmap(lambda a, b: tdvp_objective(a, b, W))(As, bs))
+    )(Bs)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), atol=5e-6)
+
+
 def test_power_kernel_padding(key):
     """Batch not a multiple of the tile: identity padding is dropped."""
     B = 5
