@@ -1,13 +1,24 @@
-"""Benchmark: gen-2 TDVP overlap contraction throughput on TPU.
+"""Benchmark: the BASELINE metric ladder on TPU, one JSON line.
 
-The reference's one measured hot kernel is the 13-tensor brickwork TDVP
-overlap contraction (new_tdvp/output_results.txt: 2.262 ms/call numpy,
-0.866 ms/call jax-jit on the author's machine — BASELINE.md).  We run the
-same contraction vmapped over a large batch of brick pairs on the TPU and
-report evaluations/second; vs_baseline is against the reference's best
-jitted time (1 / 8.658e-4 s = 1155 evals/s).
+Headline metric (round-over-round continuity): the gen-2 TDVP overlap
+contraction throughput.  The reference's one measured hot kernel is the
+13-tensor brickwork TDVP overlap (new_tdvp/output_results.txt: 2.262
+ms/call numpy, 0.866 ms/call jax-jit on the author's machine — BASELINE.md);
+vs_baseline is against the reference's best jitted time (1155 evals/s).
 
-Prints exactly one JSON line.
+The "ladder" object carries every BASELINE.md target so README claims are
+driver-captured and re-verifiable each round:
+- gs_steps_per_sec_D{2,8,32} + energy_error_D{2,8,32}: variational TFIM
+  ground-state optimizer throughput and accuracy vs the exact integral;
+- env_solves_per_sec: batched transfer fixed-point eigensolves (the Pallas
+  squaring kernel, D=2 workload shape);
+- sweep_1024_points_seconds + sweep_opts_per_sec + sweep_median_error:
+  the 1000+-point vmapped phase-diagram sweep (BASELINE config 4).
+
+Axon TPU rules honored throughout (see docs/DESIGN.md): float32 real/imag
+planes as jit args (complex H2D fails silently), device_put once, and every
+timing loop READS BACK a sample and checks isfinite — otherwise it may be
+timing failed dispatches.
 """
 import json
 import os
@@ -17,23 +28,22 @@ os.environ.setdefault("QMPS_TPU_X64", "0")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 REFERENCE_EVALS_PER_SEC = 1.0 / 8.658e-4  # new_tdvp/output_results.txt:2
 
 
-def main():
-    import numpy as np
+def _readback_ok(out, n=4):
+    s = np.asarray(out[:n] if getattr(out, "ndim", 0) else out)
+    assert np.all(np.isfinite(s)), s
+    return s
 
+
+def bench_overlap_throughput(B=65536, iters=50):
     from qmps_tpu.kernels import manifold_overlap_batched
 
-    B = 65536
     rng = np.random.default_rng(0)
 
-    # Backend rule: complex arrays must NOT be runtime jit args (H2D complex
-    # transfer is unimplemented on axon and the failed execution poisons the
-    # process silently — block_until_ready does NOT propagate it).  Pass
-    # float32 real/imag planes and lax.complex in-program, return real, and
-    # READ BACK a value so the timing provably measures successful work.
     def host_unitaries(b, n):
         A = rng.standard_normal((b, n, n)) + 1j * rng.standard_normal((b, n, n))
         Q, _ = np.linalg.qr(A)
@@ -43,8 +53,6 @@ def main():
     planes = [host_unitaries(B, 4) for _ in range(4)]  # U1 U2 U1p U2p
     Mre, Mim = host_unitaries(B, 2)
     Wre, Wim = host_unitaries(1, 16)
-    # device_put once — numpy args would re-transfer ~35MB through the
-    # remote-TPU tunnel every call and the loop would time H2D, not compute
     args = jax.device_put(
         [p for pair in planes for p in pair] + [Mre, Mim, Wre[0], Wim[0]]
     )
@@ -58,22 +66,110 @@ def main():
         out = manifold_overlap_batched(
             U1, U2, U1p, U2p, M, jnp.swapaxes(M, -1, -2).conj(), W
         )
-        return jnp.abs(out)  # real output (complex D2H is unsupported on axon)
+        return jnp.abs(out)
 
     out = batch(*args)
-    out.block_until_ready()  # warm up / compile
-    sample = np.asarray(out[:4])  # hard readback: fails loudly if the
-    assert np.all(np.isfinite(sample)), sample  # execution silently errored
+    out.block_until_ready()
+    _readback_ok(out)
 
-    iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
         out = batch(*args)
     out.block_until_ready()
     dt = time.perf_counter() - t0
-    assert np.all(np.isfinite(np.asarray(out[:4])))
+    _readback_ok(out)
+    return B * iters / dt
 
-    evals_per_sec = B * iters / dt
+
+def bench_env_solves(B=65536, iters=20):
+    """Batched transfer fixed-point eigensolves/sec (Pallas squaring, N=4)."""
+    from qmps_tpu.kernels.pallas_power import dominant_eig_batched
+
+    rng = np.random.default_rng(1)
+    dre = jax.device_put(rng.standard_normal((B, 4, 4)).astype(np.float32) / 2)
+    dim = jax.device_put(rng.standard_normal((B, 4, 4)).astype(np.float32) / 2)
+    jax.block_until_ready((dre, dim))
+
+    @jax.jit
+    def solve(re, im):
+        lam, _ = dominant_eig_batched(jax.lax.complex(re, im), iters=40)
+        return jnp.abs(lam)
+
+    out = solve(dre, dim)
+    out.block_until_ready()
+    _readback_ok(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = solve(dre, dim)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    _readback_ok(out)
+    return B * iters / dt
+
+
+def bench_sweep(n_points=1024, steps=300):
+    """BASELINE config 4: the 1000+-point vmapped phase-diagram sweep."""
+    from qmps_tpu.ham import tfim_gs_energy
+    from qmps_tpu.parallel import sweep_ground_states
+
+    gs = jnp.linspace(0.1, 2.0, n_points)
+    es, _ = sweep_ground_states(gs, D=2, steps=steps)  # compile
+    es.block_until_ready()
+    _readback_ok(es)
+    t0 = time.perf_counter()
+    es, _ = sweep_ground_states(gs + 1e-3, D=2, steps=steps)
+    es.block_until_ready()
+    dt = time.perf_counter() - t0
+    es_h = np.asarray(es, np.float64)
+    assert np.all(np.isfinite(es_h))
+    exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
+    err = es_h - exact
+    return {
+        "sweep_1024_points_seconds": round(dt, 3),
+        "sweep_opts_per_sec": round(n_points / dt, 1),
+        "sweep_median_error": float(np.median(err)),
+        "sweep_max_error": float(np.max(err)),
+    }
+
+
+def bench_gs_large_D(D, steps=200):
+    """Riemannian TFIM ground state at bond dimension D: steps/sec + error.
+
+    Timed over a second (recompile-free) run; the optimizer is one jitted
+    lax.scan so steps/sec is the per-step cost of energy+grad+retraction
+    (fixed-point solve included)."""
+    from qmps_tpu.ham import tfim, tfim_gs_energy
+    from qmps_tpu.optim.riemann import ground_state_riemannian
+
+    h = tfim(1.0).to_matrix()
+    # compile + converge
+    _, e, hist = ground_state_riemannian(h, D=D, steps=steps, key=jax.random.PRNGKey(1))
+    _readback_ok(np.asarray(hist)[-4:])
+    t0 = time.perf_counter()
+    _, e2, hist2 = ground_state_riemannian(
+        h, D=D, steps=steps, key=jax.random.PRNGKey(2)
+    )
+    h2 = np.asarray(hist2)
+    dt = time.perf_counter() - t0
+    assert np.all(np.isfinite(h2))
+    err = float(min(np.min(h2), e)) - float(tfim_gs_energy(1.0))
+    return {
+        f"gs_steps_per_sec_D{D}": round(steps / dt, 2),
+        f"gs_energy_error_D{D}": float(err),
+    }
+
+
+def main():
+    ladder = {}
+    evals_per_sec = bench_overlap_throughput()
+    ladder["env_solves_per_sec"] = round(bench_env_solves(), 1)
+    ladder.update(bench_sweep())
+    # D=2 optimizer throughput comes from the sweep (opts/sec over 300-step
+    # optimizations); report the per-step rate too for the BASELINE table
+    ladder["gs_steps_per_sec_D2"] = round(ladder["sweep_opts_per_sec"] * 300, 1)
+    ladder["gs_energy_error_D2"] = ladder["sweep_median_error"]
+    ladder.update(bench_gs_large_D(8, steps=300))
+    ladder.update(bench_gs_large_D(32, steps=200))
     print(
         json.dumps(
             {
@@ -81,6 +177,7 @@ def main():
                 "value": round(evals_per_sec, 1),
                 "unit": "evals/s",
                 "vs_baseline": round(evals_per_sec / REFERENCE_EVALS_PER_SEC, 1),
+                "ladder": ladder,
             }
         )
     )
