@@ -46,6 +46,16 @@ def _cholesky_psd(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.cholesky(M + eps * jnp.eye(M.shape[-1], dtype=M.dtype))
 
 
+def _qr_pos(mat: jnp.ndarray):
+    """QR with the R diagonal rotated positive-real — a deterministic gauge
+    (the complex QR phase ambiguity otherwise makes canonical forms
+    seed-dependent)."""
+    Q, R = jnp.linalg.qr(mat)
+    dg = jnp.diagonal(R)
+    ph = dg / jnp.where(jnp.abs(dg) > 1e-300, jnp.abs(dg), 1.0)
+    return Q * ph[None, :], R * ph.conj()[:, None]
+
+
 def left_orthogonalise(A: jnp.ndarray, dense: bool = True):
     """Gauge A to left-canonical form.
 
@@ -126,18 +136,57 @@ class iMPS:
 
     # canonical forms --------------------------------------------------------
     def left_canonicalise(self) -> "iMPS":
+        """Per-site left-canonical form: an n-site cell returns n tensors,
+        each satisfying sum_s A_i[s]^dag A_i[s] = I (xmps iMPS n>1
+        semantics, consumed by qmps/ground_state.py:271-335 and
+        scars.py:75-111).  One boundary fixed-point solve + a QR sweep
+        through the cell; jit-safe and differentiable.  Use ``.blocked``
+        explicitly when the merged tensor is wanted."""
         if len(self.data) == 1:
             AL, _, _ = left_orthogonalise(self.data[0])
             return iMPS([AL])
-        # multi-site: canonicalise the blocked tensor and re-split is lossy;
-        # instead gauge each site with the blocked fixed point (adequate for
-        # the 2-site workloads in the reference, which always re-block).
-        AL, _, _ = left_orthogonalise(self.blocked)
-        return iMPS([AL])
+        A0 = self.blocked
+        _, l = tr.left_fixed_point(A0, A0)
+        l = (l + cT(l)) / 2
+        l = l / jnp.trace(l)
+        M = cT(_cholesky_psd(l))  # l = M^dag M, the cell-boundary gauge
+        ALs = []
+        for A in self.data:
+            B = jnp.einsum("ij,sjk->sik", M, A)
+            d, Dl, Dr = B.shape
+            Q, R = _qr_pos(B.reshape(d * Dl, Dr))
+            ALs.append(Q.reshape(d, Dl, Dr))
+            M = R
+        # each AL is isometric by construction, so the cell transfer operator
+        # of (AL_1..AL_n) has spectral radius exactly 1: normalization and
+        # closure (R_n = sqrt(eta_cell) M_0 for the sign-fixed QR) are
+        # automatic because l is the cell fixed point.
+        return iMPS(ALs)
 
     def right_canonicalise(self) -> "iMPS":
-        AR, _, _ = right_orthogonalise(self.blocked)
-        return iMPS([AR])
+        """Per-site right-canonical form: sum_s A_i[s] A_i[s]^dag = I per
+        site (mirror of left_canonicalise: boundary fixed point + an RQ
+        sweep right-to-left)."""
+        if len(self.data) == 1:
+            AR, _, _ = right_orthogonalise(self.data[0])
+            return iMPS([AR])
+        A0 = self.blocked
+        _, r = tr.right_fixed_point(A0, A0)
+        r = (r + cT(r)) / 2
+        r = r / jnp.trace(r)
+        C = _cholesky_psd(r)  # r = C C^dag
+        ARs = []
+        for A in reversed(self.data):
+            B = jnp.einsum("sjk,kl->sjl", A, C)
+            d, Dl, Dr = B.shape
+            # RQ via QR of the conjugate transpose: B[s] C = C' AR[s] with
+            # sum AR AR^dag = I  <=>  stack B as (Dl, d*Dr) rows and QR its
+            # dagger
+            mat = B.transpose(1, 0, 2).reshape(Dl, d * Dr)
+            Q, R = _qr_pos(mat.conj().T)  # (d Dr, Dl), (Dl, Dl)
+            ARs.append(Q.conj().T.reshape(Dl, d, Dr).transpose(1, 0, 2))
+            C = R.conj().T
+        return iMPS(list(reversed(ARs)))
 
     def mixed(self):
         """(AL, AR, C) mixed gauge of the (blocked) state

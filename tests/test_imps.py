@@ -170,3 +170,60 @@ class TestObservables:
                     np.asarray(A[s] @ B[t]),
                     atol=1e-12,
                 )
+
+
+class TestMultiSiteCanonical:
+    """True n-site unit cell: per-site canonical forms, no silent blocking
+    (xmps iMPS n>1 semantics via qmps/ground_state.py:271-335)."""
+
+    def test_left_canonicalise_returns_per_site_tensors(self, key):
+        ks = jax.random.split(key, 2)
+        psi = iMPS([random_tensor(k, 2, 3) for k in ks])
+        can = psi.left_canonicalise()
+        assert len(can) == 2
+        for A in can.data:
+            gram = np.einsum("sji,sjk->ik", np.conj(np.asarray(A)), np.asarray(A))
+            np.testing.assert_allclose(gram, np.eye(3), atol=1e-10)
+
+    def test_right_canonicalise_returns_per_site_tensors(self, key):
+        ks = jax.random.split(key, 3)
+        psi = iMPS([random_tensor(k, 2, 2) for k in ks])
+        can = psi.right_canonicalise()
+        assert len(can) == 3
+        for A in can.data:
+            gram = np.einsum("sij,skj->ik", np.asarray(A), np.conj(np.asarray(A)))
+            np.testing.assert_allclose(gram, np.eye(2), atol=1e-10)
+
+    def test_per_site_form_is_the_same_state(self, key):
+        """Canonicalization is a gauge transformation: the per-site form has
+        unit overlap with the original state and identical observables."""
+        ks = jax.random.split(key, 2)
+        psi = iMPS([random_tensor(k, 2, 3) for k in ks])
+        can = psi.left_canonicalise()
+        ov = float(iMPS([can.blocked]).overlap(iMPS([psi.blocked])))
+        np.testing.assert_allclose(ov, 1.0, atol=1e-8)
+        op = np.kron(np.array([[1, 0], [0, -1]]), np.eye(2))  # Z on site 1
+        e_orig = complex(iMPS([psi.blocked]).E(op))
+        e_can = complex(iMPS([can.blocked]).E(op))
+        np.testing.assert_allclose(e_can, e_orig, atol=1e-8)
+
+    def test_per_site_matches_blocked_canonical_physics(self, key):
+        ks = jax.random.split(key, 2)
+        psi = iMPS([random_tensor(k, 2, 2) for k in ks])
+        can = psi.left_canonicalise()
+        blocked_can = iMPS([psi.blocked]).left_canonicalise()
+        op = np.kron(np.array([[0, 1], [1, 0]]), np.eye(2))
+        np.testing.assert_allclose(
+            complex(iMPS([can.blocked]).E(op)),
+            complex(blocked_can.E(op)),
+            atol=1e-8,
+        )
+
+    def test_cell_closure(self, key):
+        """The QR sweep closes: re-canonicalizing a canonical cell is the
+        identity (deterministic gauge via sign-fixed QR)."""
+        ks = jax.random.split(key, 2)
+        can = iMPS([random_tensor(k, 2, 3) for k in ks]).left_canonicalise()
+        again = can.left_canonicalise()
+        for A, B in zip(can.data, again.data):
+            np.testing.assert_allclose(np.asarray(A), np.asarray(B), atol=1e-8)
