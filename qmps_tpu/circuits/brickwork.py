@@ -105,6 +105,33 @@ def bricks_to_tensor_right(U1, U2) -> jnp.ndarray:
     )
 
 
+def bricks_from_tensor(A) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """QR + polar splitting of a 1-site MPS tensor into brickwork bricks
+    (U1, U2) — the reference's ``Us_from_A``
+    (new_tdvp/loschmidt_classical.py:93-141), differentiable (SVD polar +
+    QR first-column completion instead of scipy polar + null_space).
+
+    This is an APPROXIMATE initializer, as in the reference: the 2-site
+    blocking of a generic injective 1-site uMPS does not lie exactly in the
+    left-leaning brickwork manifold (the polar step projects), so the
+    returned bricks reproduce the input state only roughly.  Use
+    ``algorithms.brickwork_tdvp.compile_tensor_to_bricks`` for the
+    gradient-polished warm start (overlap > 0.99 on TFIM ground states).
+    """
+    from ..embed.unitaries import environment_to_unitary
+
+    B = jnp.tensordot(A, A, [[2], [1]])  # (s1, i, s2, j)
+    Bm = B.transpose(1, 0, 3, 2).reshape(2, 8)  # rows = left bond
+    C, Dm = jnp.linalg.qr(Bm)  # C (2, 2) unitary, Dm (2, 8)
+    D44 = Dm.reshape(2, 2, 2, 2).transpose(1, 2, 0, 3).reshape(4, 4)
+    u, s, vh = jnp.linalg.svd(D44)
+    U1 = u @ vh  # polar unitary factor -> the U1 brick
+    H = (vh.conj().T * s) @ vh  # hermitian factor, absorbed into the column
+    c2 = jnp.tensordot(H.reshape(2, 2, 2, 2), C, [[2, 3], [1, 0]]).reshape(4)
+    U2 = environment_to_unitary(c2)
+    return U1, U2
+
+
 def right_env_map(U1, U2, U1d, U2d, M) -> jnp.ndarray:
     """One application of the brickwork mixed transfer map to a 2x2 matrix M
     (RightEnvironment.circuit, ClassicalTDVPStripped.py:355-377)."""

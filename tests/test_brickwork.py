@@ -110,25 +110,22 @@ def test_brickwork_loschmidt_tracks_exact():
     """Gen-2 Loschmidt pipeline (new_tdvp/LoschmidtEchos.py): the 22-param
     brickwork TDVP rate function tracks the exact quench oracle at
     reference-level fidelity over a short horizon."""
-    import scipy.linalg
-
-    from qmps_tpu.algorithms.brickwork_tdvp import loschmidt_echo_brickwork
+    from qmps_tpu.algorithms.brickwork_tdvp import (
+        loschmidt_echo_brickwork,
+        quench_window_gate,
+    )
     from qmps_tpu.ham import loschmidt_rate, tfim
 
     res = optimize_brickwork(tfim(1.5).to_matrix(), steps=400)
-    h = np.asarray(tfim(0.2).to_matrix())
-    H4 = np.kron(np.kron(np.eye(2), h), np.eye(2)) + 0.5 * (
-        np.kron(h, np.eye(4)) + np.kron(np.eye(4), h)
-    )
     dt = 0.05
-    W = scipy.linalg.expm(-1j * H4 * 2 * dt)
+    W = quench_window_gate(tfim(0.2).to_matrix(), dt)
     les, traj, costs = loschmidt_echo_brickwork(
         res.x, jnp.asarray(W), n_steps=12, inner_steps=120
     )
     rates = -np.log(np.asarray(les)) / 2  # per site (cell = 2 sites)
     ts = np.arange(1, 13) * dt
     exact = np.array([float(loschmidt_rate(t, 1.5, 0.2)) for t in ts])
-    assert np.max(np.abs(rates - exact)) < 0.1
+    assert np.max(np.abs(rates - exact)) < 0.05
     assert rates[-1] > rates[0]  # the echo is building up
 
 
@@ -151,3 +148,59 @@ def test_brickwork_evolve_stationary(key):
     # and the cost is a (locally) maximal overlap: perturbations don't help
     c0 = float(evolve_cost_exact_env(p, p, jnp.eye(16, dtype=jnp.complex128)))
     assert c0 < 0
+
+
+def test_bricks_from_tensor_structure(key):
+    """Us_from_A port (new_tdvp/loschmidt_classical.py:93-141): the QR+polar
+    split returns genuine unitaries and is deterministic."""
+    from qmps_tpu.circuits.brickwork import bricks_from_tensor
+    from qmps_tpu.mps.imps import iMPS, random_tensor
+
+    A = iMPS([random_tensor(key, 2, 2)]).left_canonicalise()[0]
+    U1, U2 = bricks_from_tensor(A)
+    np.testing.assert_allclose(
+        np.asarray(U1 @ U1.conj().T), np.eye(4), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(U2 @ U2.conj().T), np.eye(4), atol=1e-12
+    )
+    U1b, U2b = bricks_from_tensor(A)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U1b), atol=1e-14)
+
+
+@pytest.mark.slow
+def test_warm_start_quench_tracks_exact_rate():
+    """The classical warm start (VERDICT item 7): compile a classically
+    found D=2 TFIM ground state into the brickwork manifold, quench with
+    the calibrated window gate, and reproduce the exact rate to < 1e-2."""
+    from qmps_tpu.algorithms import find_ground_state
+    from qmps_tpu.algorithms.brickwork_tdvp import (
+        BrickworkEvolver,
+        compile_tensor_to_bricks,
+        quench_window_gate,
+    )
+    from qmps_tpu.circuits.brickwork import bricks_to_tensor_left
+    from qmps_tpu.ham import loschmidt_rate
+    from qmps_tpu.mps.imps import iMPS
+
+    res = find_ground_state(tfim(1.5), D=2, steps=400)
+    p, ov = compile_tensor_to_bricks(res.A)
+    assert float(ov) > 0.99  # manifold distance at g=1.5 is ~7.7e-3
+
+    dt = 0.025
+    W = quench_window_gate(tfim(0.2).to_matrix(), dt)
+    ev = BrickworkEvolver(jnp.asarray(W), inner_steps=200, lr=5e-2)
+    traj, _ = ev.time_evolve(p, 12)
+
+    def blocked(pp):
+        U1, U2 = param_bricks(pp)
+        return jnp.transpose(bricks_to_tensor_left(U1, U2), (1, 0, 2))
+
+    psi0 = iMPS([blocked(traj[0])])
+    rates = np.array(
+        [-np.log(float(iMPS([blocked(q)]).overlap(psi0))) / 2 for q in traj[1:]]
+    )
+    ts = np.arange(1, 13) * dt
+    exact = np.array([float(loschmidt_rate(t, 1.5, 0.2)) for t in ts])
+    assert np.max(np.abs(rates - exact)) < 1e-2
+    assert rates[-1] > rates[0]
