@@ -4,4 +4,5 @@ from .variational import (  # noqa: F401
     represent_variational_M,
     tomography_env_objective,
     trace_distance_objective,
+    variational_fixed_point,
 )

@@ -114,6 +114,71 @@ def trace_distance_objective(U: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(jnp.trace(d @ d).real)
 
 
+def variational_fixed_point(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    n_starts: int = 8,
+    steps: int = 1000,
+    lr: float = 1e-1,
+    key=None,
+):
+    """Variational dominant eigenpair of the mixed transfer Map(A, B):
+    minimize the residual |E v - lam v|^2 over (complex lam, complex unit
+    vector v) — the gen-1 mixed-environment study
+    (scripts/mixed_environment.py:34-209), gradient-based.
+
+    Residual minimization has a global zero at EVERY eigenpair, so the
+    solver multi-starts (the reference retries up to 20 Nelder-Mead runs
+    until |lam| is large): one start is warmed by a few power steps, the
+    rest are random; the winner is the largest |lam| among converged
+    (residual < 1e-8) starts.  Returns (lam, r, residual) with r the (D, D)
+    phase-unfixed eigenvector, unit Frobenius.
+    """
+    from ..core.linalg import to_real_vector
+    from ..mps import transfer as tr
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    E = tr.transfer_dense(A, B)
+    n = E.shape[0]
+
+    def loss(p):
+        lam = jax.lax.complex(p[0], p[1])
+        v = from_real_vector(p[2:])
+        v = v / jnp.linalg.norm(v)
+        return jnp.sum(jnp.abs(E @ v - lam * v) ** 2)
+
+    opt = optax.adam(optax.exponential_decay(lr, max(steps // 2, 1), 0.03))
+
+    def run(p0):
+        def step(c, _):
+            p, s = c
+            g = jax.grad(loss)(p)
+            up, s = opt.update(g, s)
+            return (optax.apply_updates(p, up), s), None
+
+        (p, _), _ = jax.lax.scan(step, (p0, opt.init(p0)), None, length=steps)
+        return p, jnp.abs(jax.lax.complex(p[0], p[1])), loss(p)
+
+    v = jnp.ones((n,), E.dtype)
+    for _ in range(6):
+        v = E @ v
+        v = v / jnp.linalg.norm(v)
+    lam0 = jnp.vdot(v, E @ v)
+    warm = jnp.concatenate([jnp.stack([lam0.real, lam0.imag]), to_real_vector(v)])
+    rand = (
+        jax.random.normal(key, (n_starts - 1, 2 + 2 * n))
+        .at[:, 0].set(1.0)
+        .at[:, 1].set(0.0)
+    )
+    ps, lams, res = jax.vmap(run)(jnp.concatenate([warm[None], rand]))
+    score = lams - 1e6 * (res > 1e-8)
+    i = jnp.argmax(score)
+    vbest = from_real_vector(ps[i][2:])
+    vbest = vbest / jnp.linalg.norm(vbest)
+    D1, D2 = A.shape[1], B.shape[1]
+    return jax.lax.complex(ps[i][0], ps[i][1]), vbest.reshape(D1, D2), res[i]
+
+
 def represent_variational_M(
     U1, U2, U1d, U2d, p0=None, steps: int = 400, lr: float = 5e-2,
     eta_bounds=None,
@@ -136,12 +201,14 @@ def represent_variational_M(
 
     @jax.jit
     def loss(params):
+        # SQUARED residual: the reference's norm objective has a gradient
+        # singularity at the optimum (fine for Nelder-Mead, bad for adam)
         eta, p = eta_of(params[0]), params[1:]
         M = env_M(p)
         EM = right_env_map(U1, U2, U1d, U2d, M)
-        return jnp.linalg.norm(eta * M - EM)
+        return jnp.sum(jnp.abs(eta * M - EM) ** 2)
 
-    opt = optax.adam(lr)
+    opt = optax.adam(optax.exponential_decay(lr, max(steps // 2, 1), 0.03))
 
     @jax.jit
     def step(carry, _):
@@ -151,4 +218,4 @@ def represent_variational_M(
         return (optax.apply_updates(v, up), state), None
 
     (v, _), _ = jax.lax.scan(step, (p0, opt.init(p0)), None, length=steps)
-    return eta_of(v[0]), env_M(v[1:]), loss(v)
+    return eta_of(v[0]), env_M(v[1:]), jnp.sqrt(loss(v))
