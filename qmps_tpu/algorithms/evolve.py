@@ -104,7 +104,32 @@ class MPSTimeEvolve:
         """One TDVP step: returns (new_params, final objective value)."""
         return self._step(params)
 
-    def evolve(self, params0: jnp.ndarray, n_steps: int, record_ops=(X, Y, Z)) -> EvolveRecord:
+    def evolve(
+        self,
+        params0: jnp.ndarray,
+        n_steps: int,
+        record_ops=(X, Y, Z),
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 25,
+        log: "ConvergenceRecord | None" = None,
+    ) -> EvolveRecord:
+        """Run n_steps TDVP steps.
+
+        checkpoint_path: if given, the full restart state (trajectory,
+        observables, step counter) is saved there atomically every
+        ``checkpoint_every`` steps and at the end; a later ``evolve`` call
+        with the same path RESUMES from the last saved step (the reference
+        could only np.save trajectories mid-run with no resume,
+        qmps/new_time_evolve.py:294).  log: an optional
+        utils.logging.ConvergenceRecord collecting the per-step inner
+        objective values with wall-clock times.
+        """
+        import os
+
+        import numpy as np
+
+        from ..utils.checkpoint import load_checkpoint, save_checkpoint
+
         params = jnp.asarray(params0)
         gate = self.gate
         ops = list(record_ops)
@@ -121,9 +146,31 @@ class MPSTimeEvolve:
             psi_t = iMPS([unitary_to_tensor(gate(p))])
             return psi_t.Es(ops), psi_t.overlap(iMPS([A0]))
 
-        A0 = init_tensor(params)
         ps, les, evss, errs = [params], [], [], []
-        for _ in range(n_steps):
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            state = load_checkpoint(checkpoint_path)
+            d = state["__dict__"] if "__dict__" in state else state
+            done = int(d["step"])
+            ps = [jnp.asarray(p) for p in np.asarray(d["ps"])]
+            les = [jnp.asarray(x) for x in np.asarray(d["les"])]
+            evss = [jnp.asarray(x) for x in np.asarray(d["evss"])]
+            errs = [jnp.asarray(x) for x in np.asarray(d["errs"])]
+            params = ps[-1]
+        A0 = init_tensor(ps[0])
+
+        def save(step_done):
+            save_checkpoint(
+                checkpoint_path,
+                {
+                    "step": np.int64(step_done),
+                    "ps": np.stack([np.asarray(p) for p in ps]),
+                    "les": np.stack([np.asarray(x) for x in les]) if les else np.zeros((0,)),
+                    "evss": np.stack([np.asarray(x) for x in evss]) if evss else np.zeros((0, len(ops))),
+                    "errs": np.stack([np.asarray(x) for x in errs]) if errs else np.zeros((0,)),
+                },
+            )
+
+        for k in range(len(les), n_steps):
             # step first, then record: loschmidt[k] is the state at
             # t = (k+1) dt, matching the time grid the pipelines report
             params, err = self.step(params)
@@ -132,6 +179,10 @@ class MPSTimeEvolve:
             evs, le = record(params, A0)
             evss.append(evs)
             les.append(le)
+            if log is not None:
+                log.append(float(err))
+            if checkpoint_path and ((k + 1) % checkpoint_every == 0 or k + 1 == n_steps):
+                save(k + 1)
         return EvolveRecord(
             params=jnp.stack(ps),
             loschmidt=jnp.stack(les),

@@ -51,7 +51,11 @@ def load_checkpoint(path: str, like=None):
 
 def _treedef_to_spec(tree):
     if isinstance(tree, dict):
-        return {"__dict__": {k: _treedef_to_spec(v) for k, v in tree.items()}}
+        # jax.tree_util flattens dicts in SORTED key order — the spec must
+        # match or leaves land under the wrong keys on reload
+        return {
+            "__dict__": {k: _treedef_to_spec(tree[k]) for k in sorted(tree)}
+        }
     if isinstance(tree, (list, tuple)):
         return {"__list__": [_treedef_to_spec(v) for v in tree]}
     return "leaf"
