@@ -121,6 +121,102 @@ def retry_until_monotone(
     return best
 
 
+def minimize_bayesian(
+    loss: Callable,
+    bounds,
+    n_calls: int = 40,
+    n_init: int = 8,
+    key=None,
+    n_candidates: int = 512,
+) -> OptResult:
+    """Bayesian optimization over box bounds — the reference's
+    ``skopt.gp_minimize`` hook (qmps/tools.py:259-260, settings
+    ``bayesian=True``).  Uses skopt when importable; otherwise a
+    self-contained GP(RBF) + expected-improvement loop in numpy, so the
+    capability does not depend on the optional package.
+    """
+    import numpy as np
+
+    jloss = jax.jit(loss)
+    f = lambda x: float(jloss(jnp.asarray(x)))
+    lo = np.asarray([b[0] for b in bounds], float)
+    hi = np.asarray([b[1] for b in bounds], float)
+    d = lo.shape[0]
+
+    try:  # the reference's actual dependency, if present
+        from skopt import gp_minimize
+
+        res = gp_minimize(f, list(map(tuple, zip(lo, hi))), n_calls=n_calls)
+        return OptResult(
+            x=jnp.asarray(res.x), fun=float(res.fun), nit=n_calls,
+            message="skopt gp_minimize",
+        )
+    except ImportError:
+        pass
+
+    seed = 0 if key is None else int(jax.random.randint(key, (), 0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+
+    def scale(u):  # [0,1]^d -> box
+        return lo + u * (hi - lo)
+
+    U = rng.random((n_init, d))
+    X = [u for u in U]
+    y = [f(scale(u)) for u in U]
+
+    sqrt2pi = float(np.sqrt(2 * np.pi))
+
+    def _phi(z):
+        return np.exp(-0.5 * z**2) / sqrt2pi
+
+    def _Phi(z):
+        from math import erf
+
+        return 0.5 * (1.0 + np.vectorize(erf)(z / np.sqrt(2.0)))
+
+    for _ in range(n_calls - n_init):
+        Xa = np.stack(X)
+        ya = np.asarray(y)
+        mu0, sd0 = ya.mean(), max(ya.std(), 1e-12)
+        yn = (ya - mu0) / sd0
+        ell = 0.25 * np.sqrt(d)
+        d2 = ((Xa[:, None, :] - Xa[None, :, :]) ** 2).sum(-1)
+        K = np.exp(-0.5 * d2 / ell**2) + 1e-8 * np.eye(len(X))
+        Lc = np.linalg.cholesky(K)
+        alpha = np.linalg.solve(Lc.T, np.linalg.solve(Lc, yn))
+        # candidates: uniform + local perturbations of the incumbent
+        best_u = Xa[int(np.argmin(ya))]
+        cand = np.concatenate(
+            [
+                rng.random((n_candidates // 2, d)),
+                np.clip(
+                    best_u + 0.1 * rng.standard_normal((n_candidates // 2, d)),
+                    0.0,
+                    1.0,
+                ),
+            ]
+        )
+        kc = np.exp(
+            -0.5 * ((cand[:, None, :] - Xa[None, :, :]) ** 2).sum(-1) / ell**2
+        )
+        mu = kc @ alpha
+        v = np.linalg.solve(Lc, kc.T)
+        var = np.clip(1.0 - (v**2).sum(0), 1e-12, None)
+        sd = np.sqrt(var)
+        ybest = yn.min()
+        z = (ybest - mu) / sd
+        ei = (ybest - mu) * _Phi(z) + sd * _phi(z)
+        u = cand[int(np.argmax(ei))]
+        X.append(u)
+        y.append(f(scale(u)))
+
+    i = int(np.argmin(y))
+    return OptResult(
+        x=jnp.asarray(scale(X[i])), fun=float(y[i]), nit=n_calls,
+        message="builtin GP-EI",
+    )
+
+
 def minimize_scipy(
     loss: Callable,
     x0: jnp.ndarray,

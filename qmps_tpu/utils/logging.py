@@ -28,6 +28,30 @@ class ConvergenceRecord:
         return (len(self.times) - 1) / (self.times[-1] - self.times[0])
 
 
+def plot_convergence(record_or_values, path: str | None = None, title: str = ""):
+    """Convergence plot (the reference's Optimizer.plot_convergence,
+    qmps/tools.py:272-284), headless: saves to ``path`` (or returns the
+    figure) instead of plt.show()."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    values = getattr(record_or_values, "values", record_or_values)
+    fig, ax = plt.subplots(figsize=(5, 3.2))
+    ax.plot(range(len(values)), list(values), lw=1.2)
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("objective")
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    if path is not None:
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        return path
+    return fig
+
+
 class Timer:
     def __init__(self, name: str = ""):
         self.name = name

@@ -114,3 +114,28 @@ class TestCheckpoint:
             jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(back)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bayesian_minimize_quadratic(key):
+    """The skopt gp_minimize hook (qmps/tools.py:259-260) via the built-in
+    GP-EI fallback: finds the bowl minimum to ~5e-2 in 40 calls."""
+    from qmps_tpu.optim.minimize import minimize_bayesian
+
+    def loss(x):
+        return jnp.sum((x - jnp.array([0.3, -0.6])) ** 2)
+
+    res = minimize_bayesian(loss, [(-1.0, 1.0), (-1.0, 1.0)], n_calls=40, key=key)
+    assert float(res.fun) < 5e-2
+    np.testing.assert_allclose(np.asarray(res.x), [0.3, -0.6], atol=0.25)
+
+
+def test_plot_convergence(tmp_path):
+    from qmps_tpu.utils.logging import ConvergenceRecord, plot_convergence
+
+    rec = ConvergenceRecord()
+    for v in [3.0, 2.0, 1.5, 1.2, 1.1]:
+        rec.append(v)
+    out = plot_convergence(rec, path=str(tmp_path / "conv.png"))
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 0
