@@ -37,6 +37,22 @@ class EvolveRecord:
     errors: jnp.ndarray  # (steps,) final inner objective values
 
 
+# Compiled-step cache: jax.jit caches compilations per *wrapped callable*,
+# so a fresh jit wrapper per MPSTimeEvolve instance (or per evolve() call)
+# recompiles an identical graph every time — a multi-second tax on exactly
+# the workflows that construct steppers repeatedly (checkpoint/resume,
+# noise sweeps instantiating one stepper per noise level).  Keying the
+# wrapper by its full configuration makes re-instantiation free.
+_JIT_CACHE: dict = {}
+
+
+def _cached_jit(key, builder):
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = builder()
+    return fn
+
+
 class MPSTimeEvolve:
     """TDVP stepper over a parametrized circuit-MPS manifold.
 
@@ -75,30 +91,35 @@ class MPSTimeEvolve:
 
     def _build_step(self):
         gate, W, inner, lr = self.gate, self.W, self.inner_steps, self.lr
-        opt = optax.adam(lr)
+        key = ("tdvp_step", gate, inner, lr, W.tobytes())
 
-        def loss(p, A):
-            B = unitary_to_tensor(gate(p))
-            return tdvp_objective(A, B, W)
+        def build():
+            opt = optax.adam(lr)
 
-        vg = jax.value_and_grad(loss)
+            def loss(p, A):
+                B = unitary_to_tensor(gate(p))
+                return tdvp_objective(A, B, W)
 
-        @jax.jit
-        def step(params):
-            A = unitary_to_tensor(gate(params))
+            vg = jax.value_and_grad(loss)
 
-            def inner_step(carry, _):
-                p, s = carry
-                v, g = vg(p, A)
-                up, s = opt.update(g, s)
-                return (optax.apply_updates(p, up), s), v
+            @jax.jit
+            def step(params):
+                A = unitary_to_tensor(gate(params))
 
-            (p, _), hist = jax.lax.scan(
-                inner_step, (params, opt.init(params)), None, length=inner
-            )
-            return p, hist[-1]
+                def inner_step(carry, _):
+                    p, s = carry
+                    v, g = vg(p, A)
+                    up, s = opt.update(g, s)
+                    return (optax.apply_updates(p, up), s), v
 
-        return step
+                (p, _), hist = jax.lax.scan(
+                    inner_step, (params, opt.init(params)), None, length=inner
+                )
+                return p, hist[-1]
+
+            return step
+
+        return _cached_jit(key, build)
 
     def step(self, params):
         """One TDVP step: returns (new_params, final objective value)."""
@@ -137,14 +158,26 @@ class MPSTimeEvolve:
         # jitted recording: the per-step tensor build / expectation /
         # overlap are complex-valued graphs, and eager complex ops fail on
         # the axon TPU backend (A0 stays device-resident between jits)
-        @jax.jit
-        def init_tensor(p):
-            return unitary_to_tensor(gate(p))
+        def build_init():
+            @jax.jit
+            def init_tensor(p):
+                return unitary_to_tensor(gate(p))
 
-        @jax.jit
-        def record(p, A0):
-            psi_t = iMPS([unitary_to_tensor(gate(p))])
-            return psi_t.Es(ops), psi_t.overlap(iMPS([A0]))
+            return init_tensor
+
+        def build_record():
+            @jax.jit
+            def record(p, A0):
+                psi_t = iMPS([unitary_to_tensor(gate(p))])
+                return psi_t.Es(ops), psi_t.overlap(iMPS([A0]))
+
+            return record
+
+        init_tensor = _cached_jit(("u2t", gate), build_init)
+        record = _cached_jit(
+            ("record", gate, tuple(np.asarray(o).tobytes() for o in ops)),
+            build_record,
+        )
 
         ps, les, evss, errs = [params], [], [], []
         if checkpoint_path and os.path.exists(checkpoint_path):
@@ -262,6 +295,9 @@ def batched_quench_sweep(
     from ..parallel.sweep import tfim_matrix
     from .ground_state import find_ground_state
 
+    if engine not in ("dense", "pallas"):
+        raise ValueError(f"engine must be 'dense' or 'pallas', got {engine!r}")
+
     g1s = jnp.asarray(g1s)
     gate = ansatze.shallow_full_state
     if params0 is None:
@@ -304,9 +340,6 @@ def batched_quench_sweep(
         return les
 
     p0s = jnp.broadcast_to(params0, (g1s.shape[0],) + params0.shape)
-
-    if engine not in ("dense", "pallas"):
-        raise ValueError(f"engine must be 'dense' or 'pallas', got {engine!r}")
 
     if engine == "pallas":
         from ..objectives.overlap import tdvp_objective_pallas
@@ -386,30 +419,35 @@ class NoisyMPSTimeEvolve(MPSTimeEvolve):
         from ..objectives.noise import noisy_tdvp_objective
 
         gate, W, inner, lr, p = self.gate, self.W, self.inner_steps, self.lr, self.p_noise
-        opt = optax.adam(lr)
+        key = ("noisy_tdvp_step", gate, inner, lr, p, W.tobytes())
 
-        def loss(pp, A):
-            B = unitary_to_tensor(gate(pp))
-            return noisy_tdvp_objective(A, B, W, p)
+        def build():
+            opt = optax.adam(lr)
 
-        vg = jax.value_and_grad(loss)
+            def loss(pp, A):
+                B = unitary_to_tensor(gate(pp))
+                return noisy_tdvp_objective(A, B, W, p)
 
-        @jax.jit
-        def step(params):
-            A = unitary_to_tensor(gate(params))
+            vg = jax.value_and_grad(loss)
 
-            def inner_step(carry, _):
-                pp, s = carry
-                v, g = vg(pp, A)
-                up, s = opt.update(g, s)
-                return (optax.apply_updates(pp, up), s), v
+            @jax.jit
+            def step(params):
+                A = unitary_to_tensor(gate(params))
 
-            (pp, _), hist = jax.lax.scan(
-                inner_step, (params, opt.init(params)), None, length=inner
-            )
-            return pp, hist[-1]
+                def inner_step(carry, _):
+                    pp, s = carry
+                    v, g = vg(pp, A)
+                    up, s = opt.update(g, s)
+                    return (optax.apply_updates(pp, up), s), v
 
-        return step
+                (pp, _), hist = jax.lax.scan(
+                    inner_step, (params, opt.init(params)), None, length=inner
+                )
+                return pp, hist[-1]
+
+            return step
+
+        return _cached_jit(key, build)
 
 
 def noisy_loschmidt_echo_run(

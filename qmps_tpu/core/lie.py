@@ -186,12 +186,10 @@ def embed_su_params(v: np.ndarray, eps: float = 4e-2) -> np.ndarray:
     v = np.asarray(v)
     N = int(np.sqrt(len(v) + 1))
     U = np.asarray(SU(jnp.asarray(v), N))
+    # kron(U, I2) keeps the fresh qubit least significant on both row and
+    # column indices — already the tensor-product structure the reference's
+    # fixindices arranges with its explicit swap, so no permutation is
+    # needed here.  The uniform eps shift off singular points matches the
+    # reference (it adds eps to the parameter vector: `SU(v + eps, N)`).
     U2N = np.kron(U, np.eye(2))
-    # permute so the fresh qubit sits innermost on both row/col indices
-    n = int(np.log2(N)) + 1
-    perm = list(range(n))
-    U2N = U2N.reshape([2] * (2 * n))
-    # identity permutation keeps the fresh qubit least significant, which is
-    # the same tensor-product structure fixindices' swap arranges
-    U2N = U2N.reshape(2 * N, 2 * N)
     return extract_su_params(U2N) + eps

@@ -75,7 +75,16 @@ def tdvp_objective_pallas(
         WAA, BB = mixed_transfer_with_gate(A, B, Wb)
         return tr.transfer_dense(WAA, BB)
 
+    As = jnp.asarray(As)
     W = jnp.asarray(W)
+    if As.ndim != 4 or As.shape[1] != 2:
+        raise ValueError(
+            f"As must be batched (B, 2, D, D) MPS tensors, got {As.shape}"
+        )
+    if W.shape[-2:] != (4, 4):
+        raise ValueError(
+            f"W must be a 2-site (4, 4) gate (optionally batched), got {W.shape}"
+        )
     if W.ndim == 3:
         Es = jax.vmap(build_E)(As, Bs, W)
     else:

@@ -86,14 +86,16 @@ def ground_state_riemannian(
     (d D, D) isometry directly.
 
     The environment fixed point uses the dense repeated-squaring solver up
-    to dense_env_max_D and the matvec power iteration above it (dense
-    transfer matrices are D^2 x D^2).  The default is backend-aware:
-    32 on TPU — the dense chain is pure MXU matmuls, the implicit eigenpair
-    adjoint keeps backward memory flat (one bordered solve, no 40-matmul
-    tape), and the matvec path's gmres-based adjoint crashes the axon TPU
-    worker when wrapped in a lax.scan (measured; single evaluations are
-    fine) — and 8 on CPU, where the matvec path is ~13x faster at D=16
-    (measured: 13.5s vs 172s for 300 steps).  Returns (A, energy, history).
+    to dense_env_max_D and the matvec Krylov path above it (dense transfer
+    matrices are D^2 x D^2; the matvec path is restarted Arnoldi forward +
+    fixed-shape GMRES implicit adjoint, core/krylov.py — TPU-safe under
+    lax.scan, unlike jax.scipy's gmres whose while_loop internals crashed
+    the axon worker).  The default crossover is backend-aware: 32 on TPU —
+    the dense chain is pure MXU matmuls and wins while D^4 fits comfortably
+    in VMEM; D=64 runs through the matvec path (measured: 400 steps, err
+    1.4e-4 vs the exact integral, no crash) — and 8 on CPU, where matvec is
+    ~13x faster at D=16 (measured: 13.5s vs 172s for 300 steps).
+    Returns (A, energy, history).
     """
     if dense_env_max_D is None:
         dense_env_max_D = 32 if jax.default_backend() == "tpu" else 8

@@ -32,6 +32,7 @@ class TestNoisyOptimizers:
         e_clean = float(energy_exact_env(shallow_full_state(p), tfim(1.0).to_matrix()))
         np.testing.assert_allclose(e_noisy, e_clean, atol=1e-9)
 
+    @pytest.mark.slow
     def test_noisy_optimization_converges_above_exact(self):
         """p = 1e-3 per qubit per moment over ~21 moments: a noise floor of
         order 0.1 above the exact energy, like the reference's noisy runs."""
@@ -133,6 +134,7 @@ class TestFiniteDepth:
 
 
 class TestNoisyEvolution:
+    @pytest.mark.slow
     def test_noisy_stepper_runs(self):
         from qmps_tpu.algorithms import find_ground_state
 

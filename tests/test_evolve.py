@@ -12,6 +12,7 @@ from qmps_tpu.mps.imps import iMPS
 from qmps_tpu.mps.tdvp import Trajectory
 
 
+@pytest.mark.slow
 def test_ground_state_stationary_under_evolution():
     gs = find_ground_state(tfim(1.0), D=2, ansatz="full15", method="lbfgs", steps=250)
     ev = MPSTimeEvolve(tfim(1.0), dt=0.02, inner_steps=60)
@@ -62,8 +63,9 @@ def test_quench_matches_classical_tdvp_and_exact():
 
 
 def test_engine_and_shape_validation(key):
-    """Unknown engine names and non-D=2 tensors are rejected loudly (a
-    typo'd engine used to fall through silently to the dense path)."""
+    """Unknown engine names and malformed inputs are rejected loudly (a
+    typo'd engine used to fall through silently to the dense path; a
+    wrong-shaped gate used to die deep inside a tensordot)."""
     from qmps_tpu.algorithms.evolve import batched_quench_sweep
     from qmps_tpu.mps.imps import iMPS
     from qmps_tpu.objectives.overlap import tdvp_objective_pallas
@@ -72,5 +74,7 @@ def test_engine_and_shape_validation(key):
         batched_quench_sweep(1.5, [0.2], 0.1, 1, inner_steps=1, gs_steps=2, engine="palas")
 
     A = jnp.stack([iMPS.random(key, 2, 4).left_canonicalise()[0]])
-    with pytest.raises(ValueError, match="D=2"):
+    with pytest.raises(ValueError, match="4, 4"):
         tdvp_objective_pallas(A, A, np.eye(16), iters=2, interpret=True)
+    with pytest.raises(ValueError, match="batched"):
+        tdvp_objective_pallas(A[0], A[0], np.eye(4), iters=2, interpret=True)

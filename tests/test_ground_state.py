@@ -64,6 +64,7 @@ class TestGroundState:
         assert res.energy >= e_exact - 1e-6
         assert res.energy - e_exact < 5e-3
 
+    @pytest.mark.slow
     def test_tfim_d2_deep_in_phases(self):
         for g, tol in [(0.2, 2e-4), (2.0, 2e-3)]:
             res = find_ground_state(tfim(g), D=2, ansatz="suN", method="lbfgs", steps=150)
@@ -101,6 +102,7 @@ class TestGroundState:
         # the penalized objective at the optimum ~ energy (penalty ~ 0)
         assert res.fun - float(tfim_gs_energy(1.0)) < 3e-2
 
+    @pytest.mark.slow
     def test_d4_ground_state(self):
         """D=4 beats the best D=2 energy at criticality."""
         g = 1.0

@@ -56,6 +56,7 @@ class TestNoise:
         e_pure = float(energy_circuit(U, h, V))
         np.testing.assert_allclose(e_noisy, e_pure, atol=1e-9)
 
+    @pytest.mark.slow
     def test_noise_raises_energy_of_ground_state(self):
         """Depolarization pushes the TFIM GS energy up."""
         from qmps_tpu.algorithms import find_ground_state

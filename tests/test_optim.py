@@ -52,6 +52,7 @@ class TestRotosolve:
             for d in (1e-3, -1e-3):
                 assert float(loss(p1 + d * e)) >= float(loss(p1)) - 1e-9
 
+    @pytest.mark.slow
     def test_rotosolve_on_joint_objective(self):
         """Rotosolve is exact only for trigonometric-polynomial costs: the
         reference drives it on the joint state+env circuit objectives
@@ -76,6 +77,7 @@ class TestRotosolve:
 
 
 class TestWarmStart:
+    @pytest.mark.slow
     def test_embed_su_params_preserves_energy(self):
         """D=2 -> D=4 warm start: the embedded unitary represents (nearly)
         the same physical state, so its energy is within eps-perturbation

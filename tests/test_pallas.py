@@ -74,6 +74,7 @@ def warm_start_pairs(B, key):
     return As, Bs
 
 
+@pytest.mark.slow
 def test_eigval_custom_vjp_value_and_grad(key):
     """The gradient-capable face (Pallas forward + rank-1 implicit adjoint)
     matches the dense repeated-squaring path in value AND gradient to the
@@ -118,7 +119,7 @@ def test_squaring_kernel_general_N(N):
         assert ov > 1 - 1e-5
 
 
-@pytest.mark.parametrize("D", [4, 8])
+@pytest.mark.parametrize("D", [4, pytest.param(8, marks=pytest.mark.slow)])
 def test_tdvp_objective_pallas_larger_D(key, D):
     """tdvp_objective_pallas matches the dense path in value and gradient at
     D=4 (component-major kernel) and D=8 (MXU kernel)."""
@@ -128,7 +129,7 @@ def test_tdvp_objective_pallas_larger_D(key, D):
     from qmps_tpu.mps.imps import iMPS
     from qmps_tpu.objectives.overlap import tdvp_objective, tdvp_objective_pallas
 
-    B = 4
+    B = 2
     ks = jax.random.split(key, 2 * B)
     As = jnp.stack(
         [iMPS.random(ks[i], 2, D).left_canonicalise()[0] for i in range(B)]

@@ -18,6 +18,7 @@ def test_vmapped_sweep_energies():
     assert np.max(err) < 5e-3
 
 
+@pytest.mark.slow
 def test_sharded_sweep_matches_vmap():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     mesh = make_mesh(8)

@@ -39,6 +39,7 @@ def test_ground_state_is_stationary():
     assert float(jnp.linalg.norm(proj)) < 5e-3
 
 
+@pytest.mark.slow
 def test_energy_conserved_along_flow(key):
     h = tfim(1.0).to_matrix()
     AL, AR, C = mixed_gauge(iMPS.random(key, 2, 4)[0])
@@ -75,6 +76,7 @@ def test_quench_loschmidt_vs_exact_rate():
     assert np.max(np.abs(rates[sel] - exact)) < 1e-2
 
 
+@pytest.mark.slow
 def test_rk4_matches_euler_and_conserves(key):
     """RK4 agrees with small-dt Euler over a short horizon, conserves
     energy, and preserves the left gauge."""
