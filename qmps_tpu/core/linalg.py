@@ -113,3 +113,24 @@ def random_unitary(key, n: int, dtype=CDTYPE) -> jnp.ndarray:
     Q, R = jnp.linalg.qr(A.astype(dtype))
     d = jnp.diagonal(R)
     return Q * (d / jnp.abs(d))[None, :]
+
+
+def nsphere(v: jnp.ndarray) -> jnp.ndarray:
+    """Unit vector on S^n from n hyperspherical angles (the reference's
+    Nsphere, qmps/time_evolve_tools.py:25-36), as one jittable cumprod:
+    x_k = cos(v_k) prod_{j<k} sin(v_j) for k < n, x_n = prod_j sin(v_j).
+    Always unit-norm, so it parametrizes normalized environment vectors
+    without a constraint term."""
+    v = jnp.asarray(v)
+    sines = jnp.cumprod(jnp.sin(v))
+    prefix = jnp.concatenate([jnp.ones((1,), v.dtype), sines[:-1]])
+    return jnp.concatenate([prefix * jnp.cos(v), sines[-1:]])
+
+
+def split_ns(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Chunk a flat parameter vector into consecutive groups of n
+    (qmps/tools.py:161-174 split_2s/3s/ns as one shape op): (k*n,) -> (k, n)."""
+    x = jnp.asarray(x)
+    if x.shape[0] % n:
+        raise ValueError(f"length {x.shape[0]} is not a multiple of {n}")
+    return x.reshape(-1, n)

@@ -318,59 +318,131 @@ def _matrix_power_batched_component(
 # ---------------------------------------------------------------------------
 
 
-def _squaring_kernel_mxu(bt, iters, mre_ref, mim_ref, ore_ref, oim_ref):
-    """Per batch element: (N, N) complex repeated squaring as four real MXU
-    matmuls per iteration, all iterations resident in VMEM.  Outputs the
-    Frobenius-normalized converged power E^(2^iters); eigenpair extraction
-    (one matvec) happens outside in XLA."""
-    for t in range(bt):
-        re0 = mre_ref[t]
-        im0 = mim_ref[t]
-        n2 = jnp.sum(re0 * re0 + im0 * im0)
-        inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+def _squaring_kernel_mxu(bt, p, iters, mre_ref, mim_ref, ore_ref, oim_ref):
+    """Repeated squaring of (N, N) complex matrices as real MXU matmuls,
+    all iterations resident in VMEM.  Outputs the Frobenius-normalized
+    converged power E^(2^iters); eigenpair extraction (one matvec) happens
+    outside in XLA.
 
-        def body(_, carry):
-            re, im = carry
-            rr = jnp.dot(re, re, preferred_element_type=jnp.float32) - jnp.dot(
-                im, im, preferred_element_type=jnp.float32
-            )
-            ri = jnp.dot(re, im, preferred_element_type=jnp.float32) + jnp.dot(
-                im, re, preferred_element_type=jnp.float32
-            )
+    refs are (bt, M, M) planes with M = p * n_block: each element is a
+    BLOCK-DIAGONAL PACK of p = 128 // n_block independent (n_block, n_block)
+    matrices, assembled cheaply in XLA (pad + concat — ~25 us HBM copies;
+    jax.scipy block_diag lowers to scatters and measured ~25% slower
+    end-to-end).  Blockdiag squares block-wise (the off-diagonal zero
+    blocks stay exactly zero through real matmuls), so one full-width
+    systolic pass advances p elements at once — the zero blocks cost
+    exactly the padding waste a lone (n_block, n_block) matmul pays anyway
+    on the 128-wide MXU.
+
+    Three measured wins over the naive per-element form (N=64, batch 4096,
+    all readback-validated — on this backend an unvalidated timing loop can
+    be timing silently-failed dispatches): packing 95 -> 66 ms, interleaved
+    chains 66 -> 56 ms, Karatsuba squaring (3 matmuls, not 4) 56 -> 47 ms.
+
+    Normalization is per BLOCK (a shared scale would underflow the non-max
+    blocks under the ^(2^iters) amplification), as a row scaling (rows of
+    block k belong only to block k), and only every SECOND squaring: after
+    a block-norm the next unnormalized square stays in f32 range unless
+    |lam|/||E||_F < 1e-19 (essentially nilpotent — the rsqrt clamp still
+    yields finite output)."""
+    n_block = mre_ref.shape[-1] // p
+
+    def block_normalize(rr, ri):
+        if p == 1:
             n2 = jnp.sum(rr * rr + ri * ri)
             inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
             return rr * inv, ri * inv
+        rows = []
+        for k in range(p):
+            sl = slice(k * n_block, (k + 1) * n_block)
+            blk_r, blk_i = rr[sl], ri[sl]
+            n2 = jnp.sum(blk_r * blk_r + blk_i * blk_i)
+            inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+            rows.append(jnp.full((n_block, 1), 1.0, rr.dtype) * inv)
+        scale = jnp.concatenate(rows, axis=0)  # (M, 1) per-row block scale
+        return rr * scale, ri * scale
 
-        re, im = jax.lax.fori_loop(0, iters, body, (re0 * inv, im0 * inv))
-        ore_ref[t] = re
-        oim_ref[t] = im
+    def square(re, im):
+        # Karatsuba complex squaring: 3 MXU matmuls instead of 4
+        # (re2 = R^2 - I^2, im2 = (R+I)^2 - R^2 - I^2 = RI + IR).
+        # Entries are block-normalized to ||.||_F = 1, so the extra
+        # cancellation is benign (validated to ~1e-7 against numpy eig).
+        p1 = jnp.dot(re, re, preferred_element_type=jnp.float32)
+        p2 = jnp.dot(im, im, preferred_element_type=jnp.float32)
+        s = re + im
+        p3 = jnp.dot(s, s, preferred_element_type=jnp.float32)
+        return p1 - p2, p3 - p1 - p2
+
+    # One fori_loop advancing all bt elements jointly (tuple carry of 2*bt
+    # planes): each trip issues bt independent squaring chains back-to-back,
+    # giving the MXU independent work to pipeline.  Two squarings per trip,
+    # one block-normalization (see docstring).
+    state = []
+    for t in range(bt):
+        re, im = block_normalize(mre_ref[t], mim_ref[t])
+        state += [re, im]
+
+    def body(_, carry):
+        out = []
+        for t in range(bt):
+            rr, ri = square(carry[2 * t], carry[2 * t + 1])
+            rr, ri = square(rr, ri)
+            out += list(block_normalize(rr, ri))
+        return tuple(out)
+
+    state = jax.lax.fori_loop(0, (iters + 1) // 2, body, tuple(state))
+    for t in range(bt):
+        ore_ref[t] = state[2 * t]
+        oim_ref[t] = state[2 * t + 1]
 
 
 def _matrix_power_batched_mxu(
-    Ere: jnp.ndarray, Eim: jnp.ndarray, iters: int, bt: int = 8, interpret: bool = False
+    Ere: jnp.ndarray,
+    Eim: jnp.ndarray,
+    iters: int,
+    bt: int = 8,
+    p: int = 1,
+    interpret: bool = False,
 ):
     """(B, N, N) real planes -> normalized E^(2^iters) planes via the MXU
-    kernel.  B must be a multiple of bt."""
+    kernel, packing p elements per block-diagonal (pN, pN) systolic pass.
+    B must be a multiple of bt * p.  The pack (pad + concat) and unpack
+    (strided slices) are plain XLA HBM copies."""
     B, N, _ = Ere.shape
-    grid = (B // bt,)
-    kernel = functools.partial(_squaring_kernel_mxu, bt, iters)
-    return pl.pallas_call(
+
+    def pack(X):
+        if p == 1:
+            return X
+        Xg = X.reshape(B // p, p, N, N)
+        cols = [
+            jnp.pad(Xg[:, k], ((0, 0), (0, 0), (k * N, (p - 1 - k) * N)))
+            for k in range(p)
+        ]
+        return jnp.concatenate(cols, axis=1)  # (B/p, pN, pN)
+
+    G, M = B // p, p * N
+    grid = (G // bt,)
+    kernel = functools.partial(_squaring_kernel_mxu, bt, p, iters)
+    spec = pl.BlockSpec((bt, M, M), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    Pre, Pim = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bt, N, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, N, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((bt, N, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, N, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
         out_shape=[
-            jax.ShapeDtypeStruct((B, N, N), Ere.dtype),
-            jax.ShapeDtypeStruct((B, N, N), Ere.dtype),
+            jax.ShapeDtypeStruct((G, M, M), Ere.dtype),
+            jax.ShapeDtypeStruct((G, M, M), Ere.dtype),
         ],
         interpret=interpret,
-    )(Ere, Eim)
+    )(pack(Ere), pack(Eim))
+
+    def unpack(X):
+        if p == 1:
+            return X
+        blocks = [X[:, k * N : (k + 1) * N, k * N : (k + 1) * N] for k in range(p)]
+        return jnp.stack(blocks, axis=1).reshape(B, N, N)
+
+    return unpack(Pre), unpack(Pim)
 
 
 def _np_chirp(N: int) -> tuple[np.ndarray, np.ndarray]:
@@ -419,16 +491,21 @@ def dominant_eig_batched(
         if method != "squaring":
             raise ValueError("the N > 4 paths implement method='squaring' only")
         if N > MAX_COMPONENT_N:
-            # MXU squaring, batch-major
+            # MXU squaring, batch-major; p = 128 // N elements are packed
+            # per block-diagonal systolic pass (see _squaring_kernel_mxu).
+            # Measured at batch 4096, readback-validated: N=64 95 -> 47
+            # ms/call (3.2x vs XLA dense squaring), N=32 25 ms (2.2x) via
+            # packing + interleaved chains + Karatsuba squaring.
             bt = 8
-            pad = (-B) % bt
+            p = max(1, 128 // N)
+            pad = (-B) % (bt * p)
             Ere = jnp.real(E).astype(jnp.float32)
             Eim = jnp.imag(E).astype(jnp.float32)
             if pad:
                 Ere = jnp.pad(Ere, ((0, pad), (0, 0), (0, 0)))
                 Eim = jnp.pad(Eim, ((0, pad), (0, 0), (0, 0)))
             Mre, Mim = _matrix_power_batched_mxu(
-                Ere, Eim, iters, bt=bt, interpret=interpret
+                Ere, Eim, iters, bt=bt, p=p, interpret=interpret
             )
             return _extract_eigpair(E, Mre[:B], Mim[:B])
         # looped component-major squaring (4 < N <= 16)

@@ -181,3 +181,31 @@ class TestLinalg:
         U, P = linalg.polar(jnp.asarray(A))
         assert unitary_err(U) < 1e-10
         np.testing.assert_allclose(np.asarray(U @ P), A, atol=1e-10)
+
+
+class TestNsphere:
+    def test_matches_reference_recursion(self):
+        """Cross-check the cumprod form against a direct transcription of the
+        hyperspherical recursion (qmps/time_evolve_tools.py:25-36)."""
+        rng = np.random.default_rng(7)
+        for n in (1, 2, 5, 8):
+            v = rng.uniform(0, np.pi, n)
+            ref = np.array(
+                [np.prod(np.sin(v[:k])) * np.cos(v[k]) for k in range(n)]
+                + [np.prod(np.sin(v))]
+            )
+            out = np.asarray(linalg.nsphere(jnp.asarray(v)))
+            np.testing.assert_allclose(out, ref, atol=1e-12)
+            np.testing.assert_allclose(np.linalg.norm(out), 1.0, atol=1e-12)
+
+    def test_jit_grad(self):
+        g = jax.grad(lambda v: jnp.sum(linalg.nsphere(v) ** 2))(jnp.ones(4))
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-12)  # norm is constant
+
+    def test_split_ns(self):
+        out = np.asarray(linalg.split_ns(jnp.arange(6.0), 2))
+        np.testing.assert_allclose(out, [[0, 1], [2, 3], [4, 5]])
+        import pytest
+
+        with pytest.raises(ValueError, match="multiple"):
+            linalg.split_ns(jnp.arange(5.0), 2)

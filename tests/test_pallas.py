@@ -101,10 +101,12 @@ def test_eigval_custom_vjp_value_and_grad(key):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), atol=5e-6)
 
 
-@pytest.mark.parametrize("N", [16, 64])
+@pytest.mark.parametrize("N", [16, 32, 64])
 def test_squaring_kernel_general_N(N):
-    """The generalized kernels (component-major at N=16, MXU at N=64) match
-    numpy eig on random batches."""
+    """The generalized kernels (component-major at N=16, MXU above — with
+    block-diagonal packing of 128//N elements per systolic pass at N=32/64)
+    match numpy eig on random batches (batch 6 is not a multiple of the
+    pack size, so padding + unpacking order are exercised too)."""
     rng = np.random.default_rng(7)
     E = (rng.normal(size=(6, N, N)) + 1j * rng.normal(size=(6, N, N))).astype(
         np.complex64
