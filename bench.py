@@ -8,8 +8,9 @@ vs_baseline is against the reference's best jitted time (1155 evals/s).
 
 The "ladder" object carries every BASELINE.md target so README claims are
 driver-captured and re-verifiable each round:
-- gs_steps_per_sec_D{2,8,32} + energy_error_D{2,8,32}: variational TFIM
-  ground-state optimizer throughput and accuracy vs the exact integral;
+- gs_steps_per_sec_D{2,8,32,64} + energy_error_D{2,8,32,64}: variational
+  TFIM ground-state optimizer throughput and accuracy vs the exact
+  integral (D=64 via the matvec Krylov fixed-point path);
 - env_solves_per_sec: batched transfer fixed-point eigensolves (the Pallas
   squaring kernel, D=2 workload shape);
 - sweep_1024_points_seconds + sweep_opts_per_sec + sweep_median_error:
@@ -170,6 +171,11 @@ def main():
     ladder["gs_energy_error_D2"] = ladder["sweep_median_error"]
     ladder.update(bench_gs_large_D(8, steps=300))
     ladder.update(bench_gs_large_D(32, steps=200))
+    # D=64 runs through the matvec Krylov path (restarted Arnoldi forward +
+    # fixed-shape GMRES adjoint); ~4 min first compile, 6s/run thereafter.
+    # Set QMPS_BENCH_SKIP_D64=1 to skip under a tight driver timeout.
+    if not os.environ.get("QMPS_BENCH_SKIP_D64"):
+        ladder.update(bench_gs_large_D(64, steps=150))
     print(
         json.dumps(
             {
