@@ -118,7 +118,9 @@ def bench_sweep(n_points=1024, steps=300):
     es.block_until_ready()
     _readback_ok(es)
     t0 = time.perf_counter()
-    es, _ = sweep_ground_states(gs + 1e-3, D=2, steps=steps)
+    # one adiabatic-continuation pass: re-optimizes every point from its
+    # neighbors' params (same compiled program), killing bad-basin outliers
+    es, _ = sweep_ground_states(gs + 1e-3, D=2, steps=steps, refine_passes=1)
     es.block_until_ready()
     dt = time.perf_counter() - t0
     es_h = np.asarray(es, np.float64)

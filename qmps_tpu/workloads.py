@@ -169,10 +169,47 @@ class BrickworkConfig:
         return {"overlap_evals_per_sec": self.batch * self.iters / dt, "seconds": dt}
 
 
+@dataclasses.dataclass(frozen=True)
+class LargeDConfig:
+    """Config 5 (large-D leg): Riemannian TFIM ground state at D = 32-64.
+
+    Exercises both environment-solver regimes: the dense MXU squaring
+    chain (D <= 32 on TPU) and the matvec Krylov path above it (restarted
+    Arnoldi forward + fixed-shape GMRES implicit adjoint, core/krylov.py).
+    """
+
+    g: float = 1.0
+    D: int = 64
+    steps: int = 150
+
+    def run(self) -> dict:
+        from .ham import tfim, tfim_gs_energy
+        from .optim.riemann import ground_state_riemannian
+
+        h = tfim(self.g).to_matrix()
+        t0 = time.perf_counter()
+        _, e, hist = ground_state_riemannian(
+            h, D=self.D, steps=self.steps, key=jax.random.PRNGKey(1)
+        )
+        dt = time.perf_counter() - t0
+        h_np = np.asarray(hist)
+        assert np.all(np.isfinite(h_np))
+        e_exact = float(tfim_gs_energy(self.g))
+        return {
+            "energy": float(min(h_np.min(), e)),
+            "exact": e_exact,
+            "error": float(min(h_np.min(), e)) - e_exact,
+            "seconds": dt,
+            "steps_per_sec": self.steps / dt,
+        }
+
+
 CONFIG_LADDER = (
     GroundStateConfig(D=2),
     GroundStateConfig(D=4),
     QuenchConfig(),
     SweepConfig(),
     BrickworkConfig(),
+    LargeDConfig(D=32),
+    LargeDConfig(D=64),
 )

@@ -20,3 +20,11 @@ def test_sweep_config():
     m = SweepConfig(n_points=16, steps=300).run()
     assert m["max_error"] < 5e-2
     assert np.isfinite(m["opts_per_sec"])
+
+
+@pytest.mark.slow
+def test_large_d_config():
+    from qmps_tpu.workloads import LargeDConfig
+
+    m = LargeDConfig(D=16, steps=200).run()
+    assert m["error"] < 5e-3 and m["error"] > -1e-8
