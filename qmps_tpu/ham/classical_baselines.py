@@ -64,22 +64,30 @@ def tfim_ed_energy(L: int = 14, g: float = 1.0, periodic: bool = True) -> float:
 
 
 def itebd_gs_energy(
-    g: float,
+    g: float | None = None,
     chi: int = 2,
     dts=(0.1, 0.01, 0.001),
     sweeps_per_dt: int = 2000,
     return_state: bool = False,
+    h2: "np.ndarray | None" = None,
 ):
-    """TFIM ground energy on the chi-dimensional uMPS manifold via
+    """Ground energy per bond on the chi-dimensional uMPS manifold via
     imaginary-time iTEBD (Vidal canonical form, 2-site updates with SVD
     truncation to chi, A/B sublattice alternation, decreasing Trotter step).
 
-    At chi=2 this reproduces the reference's tenpy DMRG chi_max=2 baseline:
-    the best energy available to ANY D=2 matrix product state.
+    By default the Hamiltonian is TFIM at field g; pass ``h2`` (a 4x4
+    two-site matrix, e.g. ``heisenberg().to_matrix()``) for any other
+    nearest-neighbour model.  At chi=2 with TFIM this reproduces the
+    reference's tenpy DMRG chi_max=2 baseline: the best energy available
+    to ANY D=2 matrix product state (with a 2-site unit cell).
     """
     import scipy.linalg as sla
 
-    h = -np.kron(_Z, _Z) - g * (np.kron(_X, _I) + np.kron(_I, _X)) / 2.0
+    if h2 is not None:
+        h = np.asarray(h2, dtype=float)
+    else:
+        assert g is not None, "pass g (TFIM field) or h2 (explicit 4x4)"
+        h = -np.kron(_Z, _Z) - g * (np.kron(_X, _I) + np.kron(_I, _X)) / 2.0
 
     rng = np.random.default_rng(0)
     # Vidal form: Gammas[s] (chi, 2, chi), lambdas[s] (chi,)
@@ -130,3 +138,12 @@ def itebd_gs_energy(
     if return_state:
         return energy, (G, lam)
     return energy
+
+
+def heisenberg_exact_energy(J: float = 1.0) -> float:
+    """Bethe-ansatz ground energy per bond of the infinite spin-1/2
+    Heisenberg chain in the PAULI convention H = J sum (XX + YY + ZZ):
+    E/bond = J (1 - 4 ln 2) (Hulthen 1938; the S.S-convention value
+    1/4 - ln 2 times 4).  The oracle for new_tdvp/HeisenbergHam.py:24-25
+    workloads."""
+    return J * (1.0 - 4.0 * np.log(2.0))

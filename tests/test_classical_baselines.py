@@ -51,3 +51,30 @@ def test_variational_d2_reaches_manifold_optimum(g):
     assert res.energy >= e_exact - 1e-9  # variational lower bound holds
     assert res.energy <= e_itebd + 1e-6  # at (or below) the DMRG-grade optimum
     assert e_itebd - res.energy < 2e-4  # and tightly so
+
+
+@pytest.mark.slow
+def test_heisenberg_two_site_bracketed_by_baselines():
+    """Heisenberg chain (new_tdvp/HeisenbergHam.py:24-25 workload), checked
+    quantitatively: Bethe-ansatz exact (1 - 4 ln 2 per bond, Pauli
+    convention) <= chi=2 iTEBD (the D=2 2-site-cell manifold optimum) <=
+    our 2-site variational optimizer, with the optimizer close to the
+    manifold optimum."""
+    from qmps_tpu.algorithms.ground_state import NonSparseFullTwoSiteEnergyOptimizer
+    from qmps_tpu.ham import heisenberg
+    from qmps_tpu.ham.classical_baselines import heisenberg_exact_energy
+
+    H = heisenberg()
+    e_exact = heisenberg_exact_energy()
+    e_itebd = itebd_gs_energy(h2=np.asarray(H.to_matrix()))
+    assert e_itebd >= e_exact - 1e-9
+    # the D=2 manifold gap for Heisenberg is much larger than for TFIM
+    # (critical AFM, log corrections): measured chi=2 value -1.7105 vs
+    # Bethe -1.7726, i.e. gap 0.062
+    assert e_itebd - e_exact < 0.08
+
+    opt = NonSparseFullTwoSiteEnergyOptimizer(H)
+    opt.change_settings({"method": "lbfgs", "maxiter": 250})
+    res = opt.optimize()
+    assert res.fun >= e_exact - 1e-6
+    assert res.fun - e_itebd < 2e-2  # near the 2-site-cell manifold optimum
