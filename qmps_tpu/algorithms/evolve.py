@@ -450,6 +450,90 @@ class NoisyMPSTimeEvolve(MPSTimeEvolve):
         return _cached_jit(key, build)
 
 
+def batched_noise_sweep(
+    g0: float,
+    g1: float,
+    t_max: float,
+    n_steps: int,
+    noise_levels,
+    inner_steps: int = 80,
+    gs_steps: int = 300,
+    lr: float = 3e-2,
+    key=None,
+    mesh=None,
+):
+    """The reference's production noise study (scripts/loschmidt.py:335-382
+    — one cluster job per depolarizing probability) as ONE compiled
+    program: the channel strength is an ordinary scalar in the
+    density-matrix objective, so the whole noise family advances in
+    lockstep under vmap (optionally shard_map'd over a mesh).
+
+    Returns (times, rates[len(noise_levels), n_steps]) with
+    rate = -log |<psi_0|psi_t>|^2 of the evolved pure parametrized state
+    (the noise shapes the optimization landscape, as in the reference).
+    """
+    import optax
+
+    from ..objectives.noise import noisy_tdvp_objective
+    from ..parallel.sweep import tfim_matrix
+    from .ground_state import find_ground_state
+
+    ps_noise = jnp.asarray(
+        noise_levels,
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
+    )
+    gate = ansatze.shallow_full_state
+    gs = find_ground_state(
+        Hamiltonian({"ZZ": -1.0, "X": g0}), D=2, ansatz="full15",
+        method="lbfgs", steps=gs_steps, key=key,
+    )
+    params0 = gs.params
+    dt = t_max / n_steps
+    opt = optax.adam(lr)
+    u2t = lambda p: unitary_to_tensor(gate(p))
+
+    def one_traj(p_noise, p0):
+        ctype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+        W = jax.scipy.linalg.expm(-1j * tfim_matrix(g1).astype(ctype) * 2 * dt)
+        A0 = u2t(p0)
+
+        def loss(pp, A):
+            return noisy_tdvp_objective(A, u2t(pp), W, p_noise)
+
+        vg = jax.value_and_grad(loss)
+
+        def outer(p, _):
+            A = u2t(p)
+
+            def inner(c, _):
+                pp, s = c
+                _, g = vg(pp, A)
+                up, s = opt.update(g, s)
+                return (optax.apply_updates(pp, up), s), None
+
+            (p_new, _), _ = jax.lax.scan(
+                inner, (p, opt.init(p)), None, length=inner_steps
+            )
+            ov, _ = tr.right_fixed_point(u2t(p_new), A0)
+            return p_new, jnp.abs(ov) ** 2
+
+        _, les = jax.lax.scan(outer, p0, None, length=n_steps)
+        return les
+
+    p0s = jnp.broadcast_to(params0, (ps_noise.shape[0],) + params0.shape)
+    f = jax.vmap(one_traj)
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        f = shard_map(
+            f, mesh=mesh, in_specs=(P("sweep"), P("sweep")), out_specs=P("sweep")
+        )
+    les = jax.jit(f)(ps_noise, p0s)
+    times = jnp.arange(1, n_steps + 1) * dt
+    return times, -jnp.log(les)
+
+
 def noisy_loschmidt_echo_run(
     g0: float,
     g1: float,

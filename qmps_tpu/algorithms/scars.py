@@ -199,10 +199,15 @@ def constant_energy_initial_conditions(
     return jax.jit(jax.vmap(project))(p0s)
 
 
-def quantum_poincare_sweep(y0s, mu: float, dt: float, n_steps: int, inner_steps: int = 120):
+def quantum_poincare_sweep(
+    y0s, mu: float, dt: float, n_steps: int, inner_steps: int = 120, mesh=None
+):
     """Ensemble of *quantum* TDVP trajectories, the vmapped analogue of the
     reference's joblib sweep over initial conditions: each outer step runs
-    the warm-started inner optimization for the whole batch at once."""
+    the warm-started inner optimization for the whole batch at once.  With
+    a mesh, the ensemble axis is sharded across devices via shard_map
+    (collectives-free data parallelism — trajectories are independent, so
+    the sweep rides pure ICI-local work like parallel.sweep)."""
     import optax
 
     W = scars_W(mu, 4.0 * dt)
@@ -219,7 +224,13 @@ def quantum_poincare_sweep(y0s, mu: float, dt: float, n_steps: int, inner_steps:
         (p, _), _ = jax.lax.scan(inner, (params, opt.init(params)), None, length=inner_steps)
         return p
 
-    batch_step = jax.jit(jax.vmap(one_step))
+    f = jax.vmap(one_step)
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        f = shard_map(f, mesh=mesh, in_specs=(P("sweep"),), out_specs=P("sweep"))
+    batch_step = jax.jit(f)
     ps = jnp.asarray(y0s, jnp.float64)
     traj = [jnp.mod(ps, 2 * jnp.pi)]
     for _ in range(n_steps - 1):

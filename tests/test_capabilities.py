@@ -152,3 +152,29 @@ class TestQuantumPoincare:
         traj = quantum_poincare_sweep(y0s, 0.325, 0.05, 3, inner_steps=60)
         assert traj.shape == (2, 3, 4)
         assert np.all(np.isfinite(np.asarray(traj)))
+
+
+class TestBatchedNoiseSweep:
+    @pytest.mark.slow
+    def test_matches_sequential_and_noise_stalls(self, key):
+        """The one-program noise family: (a) the p=0 column agrees with the
+        sequential noiseless stepper to optimizer tolerance, (b) strong
+        depolarization flattens the objective so the trajectory STALLS and
+        the recorded pure-state rate lags below the clean curve — the
+        reference's production signature (its noisy rate curves fall away
+        beneath the exact rate as noise grows)."""
+        from qmps_tpu.algorithms.evolve import batched_noise_sweep, loschmidt_echo_run
+
+        times, rates = batched_noise_sweep(
+            1.5, 0.2, 0.4, 5, noise_levels=[0.0, 3e-3, 3e-2],
+            inner_steps=50, gs_steps=250, key=key,
+        )
+        r = np.asarray(rates)
+        assert r.shape == (3, 5) and np.all(np.isfinite(r))
+        t2, r2, _ = loschmidt_echo_run(
+            1.5, 0.2, 0.4, 5, inner_steps=50, gs_steps=250, key=key
+        )
+        np.testing.assert_allclose(r[0], np.asarray(r2), atol=2e-2)
+        # strong noise stalls the optimization: the trajectory moves less,
+        # so the pure-state rate lags below the clean curve
+        assert r[2, -1] < r[0, -1]

@@ -73,3 +73,16 @@ def test_scars_energy_finite():
     p = jnp.array([0.6, 0.9, 1.1, 0.4])
     e = float(scars_energy(p, 0.325))
     assert np.isfinite(e)
+
+
+def test_quantum_poincare_sweep_sharded_matches_vmap(key):
+    """The sharded ensemble equals the plain vmapped ensemble (8-device
+    virtual CPU mesh; trajectories are independent, so sharding must be a
+    pure layout change)."""
+    from qmps_tpu.algorithms.scars import quantum_poincare_sweep
+    from qmps_tpu.parallel import make_mesh
+
+    y0s = jax.random.uniform(key, (8, 4), minval=0.5, maxval=1.5)
+    t_v = quantum_poincare_sweep(y0s, 0.4, 0.05, 3, inner_steps=10)
+    t_s = quantum_poincare_sweep(y0s, 0.4, 0.05, 3, inner_steps=10, mesh=make_mesh())
+    np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_v), atol=1e-10)
