@@ -82,7 +82,7 @@ def bench_overlap_throughput(B=65536, iters=50):
     return B * iters / dt
 
 
-def bench_env_solves(B=65536, iters=20):
+def bench_env_solves(B=65536, iters=60):
     """Batched transfer fixed-point eigensolves/sec (Pallas squaring, N=4)."""
     from qmps_tpu.kernels.pallas_power import dominant_eig_batched
 

@@ -9,5 +9,13 @@ from .ground_state import (  # noqa: F401
     SparseFullEnergyOptimizer,
     find_ground_state,
 )
-from .evolve import MPSTimeEvolve, loschmidt_echo_run  # noqa: F401
+from .evolve import (  # noqa: F401
+    MPSTimeEvolve,
+    NoisyMPSTimeEvolve,
+    batched_noise_sweep,
+    batched_quench_sweep,
+    compile_state_to_ansatz,
+    loschmidt_echo_run,
+    noisy_loschmidt_echo_run,
+)
 from .represent import RepresentMPS  # noqa: F401

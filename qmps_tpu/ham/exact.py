@@ -41,6 +41,16 @@ def tfim_gs_energy(g) -> jnp.ndarray:
     return -(eps * w).sum(-1) / jnp.pi
 
 
+def xy_gs_energy() -> float:
+    """E0 per site of the XY chain H = sum (XX + YY): free fermions at half
+    filling, E = -(1/pi) Int_{-pi/2}^{pi/2} 2|2 cos k| dk / 2 = -4/pi.
+    The oracle for the reference's bond-dimension scaling experiment
+    (scripts/bond_dimension.py:18), which published no anchor."""
+    import math
+
+    return -4.0 / math.pi
+
+
 def _f(z, g0, g1) -> jnp.ndarray:
     """The boundary partition-function exponent f(z) of the TFIM quench.
 

@@ -1,2 +1,6 @@
 from .mesh import make_mesh  # noqa: F401
-from .sweep import phase_diagram_sweep, sweep_ground_states  # noqa: F401
+from .sweep import (  # noqa: F401
+    multi_start_ground_state,
+    phase_diagram_sweep,
+    sweep_ground_states,
+)
