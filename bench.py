@@ -41,7 +41,13 @@ def _readback_ok(out, n=4):
 
 
 def bench_overlap_throughput(B=65536, iters=50):
-    from qmps_tpu.kernels import manifold_overlap_batched
+    """(fused_pallas_evals_per_sec, xla_flat_matmul_evals_per_sec).
+
+    The headline is the fused component-major Pallas kernel (one HBM read,
+    all 12 contraction stages in VMEM); the XLA flat-matmul form is kept
+    in the ladder for round-over-round continuity.  The two are asserted
+    to agree on a sample every run."""
+    from qmps_tpu.kernels import manifold_overlap_batched, manifold_overlap_pallas
 
     rng = np.random.default_rng(0)
 
@@ -59,27 +65,36 @@ def bench_overlap_throughput(B=65536, iters=50):
     )
     jax.block_until_ready(args)
 
-    @jax.jit
-    def batch(u1r, u1i, u2r, u2i, p1r, p1i, p2r, p2i, mr, mi, wr, wi):
-        c = jax.lax.complex
-        U1, U2, U1p, U2p = c(u1r, u1i), c(u2r, u2i), c(p1r, p1i), c(p2r, p2i)
-        M, W = c(mr, mi), c(wr, wi)
-        out = manifold_overlap_batched(
-            U1, U2, U1p, U2p, M, jnp.swapaxes(M, -1, -2).conj(), W
-        )
-        return jnp.abs(out)
+    def wrap(fn):
+        @jax.jit
+        def batch(u1r, u1i, u2r, u2i, p1r, p1i, p2r, p2i, mr, mi, wr, wi):
+            c = jax.lax.complex
+            U1, U2, U1p, U2p = c(u1r, u1i), c(u2r, u2i), c(p1r, p1i), c(p2r, p2i)
+            M, W = c(mr, mi), c(wr, wi)
+            out = fn(U1, U2, U1p, U2p, M, jnp.swapaxes(M, -1, -2).conj(), W)
+            return jnp.abs(out)
 
-    out = batch(*args)
-    out.block_until_ready()
-    _readback_ok(out)
+        return batch
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = batch(*args)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    _readback_ok(out)
-    return B * iters / dt
+    f_pal = wrap(manifold_overlap_pallas)
+    f_xla = wrap(manifold_overlap_batched)
+    ref = _readback_ok(f_xla(*args), n=64)
+
+    rates = []
+    for f, n_iters in ((f_pal, iters * 4), (f_xla, iters)):
+        out = f(*args)
+        out.block_until_ready()
+        s = _readback_ok(out, n=64)
+        assert np.max(np.abs(s - ref)) < 1e-5, "kernels disagree"
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = f(*args)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        s = _readback_ok(out, n=64)
+        assert np.max(np.abs(s - ref)) < 1e-5
+        rates.append(B * n_iters / dt)
+    return rates[0], rates[1]
 
 
 def bench_env_solves(B=65536, iters=60):
@@ -164,7 +179,8 @@ def bench_gs_large_D(D, steps=200):
 
 def main():
     ladder = {}
-    evals_per_sec = bench_overlap_throughput()
+    evals_per_sec, evals_per_sec_xla = bench_overlap_throughput()
+    ladder["overlap_evals_per_sec_xla"] = round(evals_per_sec_xla, 1)
     ladder["env_solves_per_sec"] = round(bench_env_solves(), 1)
     ladder.update(bench_sweep())
     # D=2 optimizer throughput comes from the sweep (opts/sec over 300-step

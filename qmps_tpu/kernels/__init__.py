@@ -1,1 +1,2 @@
 from .brickwork_fast import manifold_overlap_batched  # noqa: F401
+from .brickwork_pallas import manifold_overlap_pallas  # noqa: F401

@@ -175,3 +175,30 @@ def test_power_kernel_padding(key):
         np.testing.assert_allclose(
             abs(complex(lam[b])), np.max(np.abs(w)), atol=2e-4
         )
+
+
+def test_manifold_overlap_pallas_matches_flat_matmul(key):
+    """The fused brickwork-overlap kernel agrees with the XLA flat-matmul
+    form (itself pinned to the reference einsum to 1e-12) on a batch that
+    is not a multiple of the tile, exercising padding."""
+    from qmps_tpu.kernels import manifold_overlap_batched, manifold_overlap_pallas
+
+    B = 7
+    ks = jax.random.split(key, 6)
+
+    def hu(k, n):
+        A = jax.random.normal(k, (B, n, n)) + 1j * jax.random.normal(
+            jax.random.fold_in(k, 1), (B, n, n)
+        )
+        Q, _ = jnp.linalg.qr(A.astype(jnp.complex64))
+        return Q
+
+    U1, U2, U1p, U2p = (hu(ks[i], 4) for i in range(4))
+    M = hu(ks[4], 2)
+    W, _ = jnp.linalg.qr(
+        (jax.random.normal(ks[5], (16, 16)) + 1j * jax.random.normal(jax.random.fold_in(ks[5], 1), (16, 16))).astype(jnp.complex64)
+    )
+    Ml = jnp.swapaxes(M, -1, -2).conj()
+    a = manifold_overlap_batched(U1, U2, U1p, U2p, M, Ml, W)
+    b = manifold_overlap_pallas(U1, U2, U1p, U2p, M, Ml, W, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
