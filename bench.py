@@ -183,9 +183,10 @@ def main():
     ladder["overlap_evals_per_sec_xla"] = round(evals_per_sec_xla, 1)
     ladder["env_solves_per_sec"] = round(bench_env_solves(), 1)
     ladder.update(bench_sweep())
-    # D=2 optimizer throughput comes from the sweep (opts/sec over 300-step
-    # optimizations); report the per-step rate too for the BASELINE table
-    ladder["gs_steps_per_sec_D2"] = round(ladder["sweep_opts_per_sec"] * 300, 1)
+    # D=2 optimizer throughput comes from the sweep; with refine_passes=1
+    # each point runs 3 program calls x 300 adam steps, so the per-step
+    # rate is opts/sec x 900
+    ladder["gs_steps_per_sec_D2"] = round(ladder["sweep_opts_per_sec"] * 900, 1)
     ladder["gs_energy_error_D2"] = ladder["sweep_median_error"]
     ladder.update(bench_gs_large_D(8, steps=300))
     ladder.update(bench_gs_large_D(32, steps=200))
