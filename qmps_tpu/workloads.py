@@ -166,7 +166,36 @@ class BrickworkConfig:
         out.block_until_ready()
         dt = time.perf_counter() - t0
         assert np.all(np.isfinite(np.asarray(out[:4])))
-        return {"overlap_evals_per_sec": self.batch * self.iters / dt, "seconds": dt}
+        metrics = {"overlap_evals_per_sec": self.batch * self.iters / dt, "seconds": dt}
+
+        if jax.default_backend() == "tpu":
+            # the fused Pallas kernel (46x, see kernels/brickwork_pallas.py);
+            # skipped off-TPU where it would run in interpret mode
+            from .kernels import manifold_overlap_pallas
+
+            @jax.jit
+            def fp(u1r, u1i, u2r, u2i, p1r, p1i, p2r, p2i, mr, mi, wr, wi):
+                c = jax.lax.complex
+                return jnp.abs(
+                    manifold_overlap_pallas(
+                        c(u1r, u1i), c(u2r, u2i), c(p1r, p1i), c(p2r, p2i),
+                        c(mr, mi),
+                        jnp.swapaxes(c(mr, mi), -1, -2).conj(), c(wr, wi),
+                    )
+                )
+
+            ref = np.asarray(out[:16])
+            out2 = fp(*args)
+            out2.block_until_ready()
+            assert np.max(np.abs(np.asarray(out2[:16]) - ref)) < 1e-5
+            t0 = time.perf_counter()
+            for _ in range(self.iters * 4):
+                out2 = fp(*args)
+            out2.block_until_ready()
+            dt2 = time.perf_counter() - t0
+            assert np.max(np.abs(np.asarray(out2[:16]) - ref)) < 1e-5
+            metrics["overlap_evals_per_sec_fused"] = self.batch * self.iters * 4 / dt2
+        return metrics
 
 
 @dataclasses.dataclass(frozen=True)
