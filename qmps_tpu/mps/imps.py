@@ -200,6 +200,20 @@ class iMPS:
         AR = jnp.einsum("ij,sjk,kl->sil", Cinv, AL, C)
         return AL, AR, C
 
+    def schmidt_values(self) -> jnp.ndarray:
+        """Bipartition Schmidt coefficients of the infinite chain: the
+        (normalized) singular values of the mixed-gauge center matrix C
+        (r = C C^dag).  Descending order."""
+        _, _, C = self.mixed()
+        s = jnp.linalg.svd(C, compute_uv=False)
+        return s / jnp.linalg.norm(s)
+
+    def entanglement_entropy(self) -> jnp.ndarray:
+        """Half-chain von Neumann entropy S = -sum s^2 log s^2 of the
+        bipartition Schmidt spectrum."""
+        s2 = self.schmidt_values() ** 2
+        return -jnp.sum(s2 * jnp.log(jnp.clip(s2, 1e-300, None)))
+
     # transfer ---------------------------------------------------------------
     def transfer_matrix(self) -> "TransferMatrix":
         return TransferMatrix(self.blocked)

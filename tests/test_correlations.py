@@ -79,3 +79,32 @@ def test_correlations_decay_at_least_as_fast_as_xi(key):
     xi = float(psi.correlation_length())
     rate = np.log(np.max(C[0:3]) / np.max(C[9:12])) / 9  # envelope decay
     assert rate >= (1 / xi) * 0.9
+
+
+def test_schmidt_and_entropy():
+    """Schmidt spectrum cross-checks: a product state has entropy 0; for a
+    random state the squared Schmidt values equal the spectrum of l r (the
+    product of the left/right transfer fixed points), the standard
+    half-chain reduced-density-matrix identity for a uMPS."""
+    from qmps_tpu.embed import unitary_to_tensor
+    from qmps_tpu.mps import transfer as tr
+    from qmps_tpu.mps.imps import iMPS
+
+    # product state: |0...0> via the identity unitary
+    prod = iMPS([unitary_to_tensor(jnp.eye(4, dtype=jnp.complex128))])
+    assert float(prod.entanglement_entropy()) < 1e-10
+
+    psi = iMPS.random(jax.random.PRNGKey(3), 2, 4)
+    s = np.asarray(psi.schmidt_values())
+    assert np.all(np.diff(s) <= 1e-12) and abs(np.sum(s**2) - 1) < 1e-10
+
+    A = psi.left_canonicalise()[0]
+    _, l = tr.left_fixed_point(A, A)
+    _, r = tr.right_fixed_point(A, A)
+    lr = np.asarray(l @ r, np.complex128)
+    w = np.sort(np.abs(np.linalg.eigvals(lr)))[::-1]
+    w = w / w.sum()
+    np.testing.assert_allclose(s**2, w, atol=1e-10)
+
+    S = float(psi.entanglement_entropy())
+    assert 0 < S <= np.log(4) + 1e-12
