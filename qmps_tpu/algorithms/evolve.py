@@ -42,15 +42,45 @@ class EvolveRecord:
 # recompiles an identical graph every time — a multi-second tax on exactly
 # the workflows that construct steppers repeatedly (checkpoint/resume,
 # noise sweeps instantiating one stepper per noise level).  Keying the
-# wrapper by its full configuration makes re-instantiation free.
+# wrapper by its full configuration makes re-instantiation free.  The
+# cache is bounded (FIFO eviction) so a long parameter scan over many dt
+# or Hamiltonian values does not pin compiled executables forever.
 _JIT_CACHE: dict = {}
+_JIT_CACHE_MAX = 64
 
 
 def _cached_jit(key, builder):
     fn = _JIT_CACHE.get(key)
     if fn is None:
+        if len(_JIT_CACHE) >= _JIT_CACHE_MAX:
+            _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
         fn = _JIT_CACHE[key] = builder()
     return fn
+
+
+def _w_key(W):
+    """Cache-key component for a host gate matrix: bytes alone would alias
+    arrays of different shape/dtype with identical buffers."""
+    import numpy as np
+
+    W = np.asarray(W)
+    return (W.shape, W.dtype.str, W.tobytes())
+
+
+
+def _warm_started_minimize(vg, opt, inner_steps, p, *aux):
+    """The warm-started inner adam scan shared by the batched sweep
+    trajectories (value discarded; the steppers keep their own cached,
+    history-reporting variant)."""
+
+    def inner(c, _):
+        pp, s = c
+        _, g = vg(pp, *aux)
+        up, s = opt.update(g, s)
+        return (optax.apply_updates(pp, up), s), None
+
+    (p_new, _), _ = jax.lax.scan(inner, (p, opt.init(p)), None, length=inner_steps)
+    return p_new
 
 
 class MPSTimeEvolve:
@@ -91,7 +121,7 @@ class MPSTimeEvolve:
 
     def _build_step(self):
         gate, W, inner, lr = self.gate, self.W, self.inner_steps, self.lr
-        key = ("tdvp_step", gate, inner, lr, W.tobytes())
+        key = ("tdvp_step", gate, inner, lr, _w_key(W))
 
         def build():
             opt = optax.adam(lr)
@@ -324,14 +354,7 @@ def batched_quench_sweep(
         def outer(carry, _):
             p = carry
             A = unitary_to_tensor(gate(p))
-
-            def inner(c, _):
-                pp, s = c
-                v, g = vg(pp, A)
-                up, s = opt.update(g, s)
-                return (optax.apply_updates(pp, up), s), None
-
-            (p_new, _), _ = jax.lax.scan(inner, (p, opt.init(p)), None, length=inner_steps)
+            p_new = _warm_started_minimize(vg, opt, inner_steps, p, A)
             B = unitary_to_tensor(gate(p_new))
             ov, _ = tr.right_fixed_point(B, A0)
             return p_new, jnp.abs(ov) ** 2
@@ -361,16 +384,7 @@ def batched_quench_sweep(
 
             def outer(ps, _):
                 As = jax.vmap(u2t)(ps)
-
-                def inner(c, _):
-                    pp, s = c
-                    _, grads = vg(pp, As)
-                    up, s = opt.update(grads, s)
-                    return (optax.apply_updates(pp, up), s), None
-
-                (ps_new, _), _ = jax.lax.scan(
-                    inner, (ps, opt.init(ps)), None, length=inner_steps
-                )
+                ps_new = _warm_started_minimize(vg, opt, inner_steps, ps, As)
                 Bs = jax.vmap(u2t)(ps_new)
                 ovs = jax.vmap(lambda b: tr.right_fixed_point(b, A0)[0])(Bs)
                 return ps_new, jnp.abs(ovs) ** 2
@@ -378,28 +392,17 @@ def batched_quench_sweep(
             _, les = jax.lax.scan(outer, p0b, None, length=n_steps)
             return les.T  # (batch, n_steps)
 
-        f = sweep
-        if mesh is not None:
-            from jax import shard_map
-            from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import shard_over_sweep
 
-            # check_vma=False: pallas_call outputs carry no varying-mesh-axis
-            # annotation; the sweep is embarrassingly parallel (no collectives)
-            f = shard_map(
-                f, mesh=mesh, in_specs=(P("sweep"), P("sweep")),
-                out_specs=P("sweep"), check_vma=False,
-            )
-        les = jax.jit(f)(g1s, p0s)
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axis
+        # annotation; the sweep is embarrassingly parallel (no collectives)
+        les = jax.jit(shard_over_sweep(sweep, mesh, check_vma=False))(g1s, p0s)
         times = jnp.arange(1, n_steps + 1) * dt
         return times, les
 
-    f = jax.vmap(one_traj)
-    if mesh is not None:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import shard_over_sweep
 
-        f = shard_map(f, mesh=mesh, in_specs=(P("sweep"), P("sweep")), out_specs=P("sweep"))
-    les = jax.jit(f)(g1s, p0s)
+    les = jax.jit(shard_over_sweep(jax.vmap(one_traj), mesh))(g1s, p0s)
     times = jnp.arange(1, n_steps + 1) * dt
     return times, les
 
@@ -419,7 +422,7 @@ class NoisyMPSTimeEvolve(MPSTimeEvolve):
         from ..objectives.noise import noisy_tdvp_objective
 
         gate, W, inner, lr, p = self.gate, self.W, self.inner_steps, self.lr, self.p_noise
-        key = ("noisy_tdvp_step", gate, inner, lr, p, W.tobytes())
+        key = ("noisy_tdvp_step", gate, inner, lr, float(p), _w_key(W))
 
         def build():
             opt = optax.adam(lr)
@@ -504,32 +507,17 @@ def batched_noise_sweep(
 
         def outer(p, _):
             A = u2t(p)
-
-            def inner(c, _):
-                pp, s = c
-                _, g = vg(pp, A)
-                up, s = opt.update(g, s)
-                return (optax.apply_updates(pp, up), s), None
-
-            (p_new, _), _ = jax.lax.scan(
-                inner, (p, opt.init(p)), None, length=inner_steps
-            )
+            p_new = _warm_started_minimize(vg, opt, inner_steps, p, A)
             ov, _ = tr.right_fixed_point(u2t(p_new), A0)
             return p_new, jnp.abs(ov) ** 2
 
         _, les = jax.lax.scan(outer, p0, None, length=n_steps)
         return les
 
-    p0s = jnp.broadcast_to(params0, (ps_noise.shape[0],) + params0.shape)
-    f = jax.vmap(one_traj)
-    if mesh is not None:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import shard_over_sweep
 
-        f = shard_map(
-            f, mesh=mesh, in_specs=(P("sweep"), P("sweep")), out_specs=P("sweep")
-        )
-    les = jax.jit(f)(ps_noise, p0s)
+    p0s = jnp.broadcast_to(params0, (ps_noise.shape[0],) + params0.shape)
+    les = jax.jit(shard_over_sweep(jax.vmap(one_traj), mesh))(ps_noise, p0s)
     times = jnp.arange(1, n_steps + 1) * dt
     return times, -jnp.log(les)
 

@@ -224,13 +224,9 @@ def quantum_poincare_sweep(
         (p, _), _ = jax.lax.scan(inner, (params, opt.init(params)), None, length=inner_steps)
         return p
 
-    f = jax.vmap(one_step)
-    if mesh is not None:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import shard_over_sweep
 
-        f = shard_map(f, mesh=mesh, in_specs=(P("sweep"),), out_specs=P("sweep"))
-    batch_step = jax.jit(f)
+    batch_step = jax.jit(shard_over_sweep(jax.vmap(one_step), mesh))
     ps = jnp.asarray(y0s, jnp.float64)
     traj = [jnp.mod(ps, 2 * jnp.pi)]
     for _ in range(n_steps - 1):

@@ -84,6 +84,17 @@ def itebd_gs_energy(
     import scipy.linalg as sla
 
     if h2 is not None:
+        h2 = np.asarray(h2)
+        if np.iscomplexobj(h2):
+            # a silent complex->float cast would drop the imaginary part
+            # (wrong Hamiltonian, plausible-looking energy); real-valued
+            # Hermitian inputs stored complex are fine
+            if np.max(np.abs(h2.imag)) > 1e-12:
+                raise ValueError(
+                    "itebd_gs_energy: h2 has imaginary entries; this real "
+                    "iTEBD supports real-representable Hamiltonians only"
+                )
+            h2 = h2.real
         h = np.asarray(h2, dtype=float)
     else:
         assert g is not None, "pass g (TFIM field) or h2 (explicit 4x4)"

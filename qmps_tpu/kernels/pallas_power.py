@@ -376,7 +376,9 @@ def _squaring_kernel_mxu(bt, p, iters, mre_ref, mim_ref, ore_ref, oim_ref):
     # One fori_loop advancing all bt elements jointly (tuple carry of 2*bt
     # planes): each trip issues bt independent squaring chains back-to-back,
     # giving the MXU independent work to pipeline.  Two squarings per trip,
-    # one block-normalization (see docstring).
+    # one block-normalization (see docstring); an odd ``iters`` gets its
+    # final single squaring after the loop so the total is EXACTLY iters
+    # squarings (matching the component-major paths' meaning of the knob).
     state = []
     for t in range(bt):
         re, im = block_normalize(mre_ref[t], mim_ref[t])
@@ -390,7 +392,12 @@ def _squaring_kernel_mxu(bt, p, iters, mre_ref, mim_ref, ore_ref, oim_ref):
             out += list(block_normalize(rr, ri))
         return tuple(out)
 
-    state = jax.lax.fori_loop(0, (iters + 1) // 2, body, tuple(state))
+    state = jax.lax.fori_loop(0, iters // 2, body, tuple(state))
+    state = list(state)
+    if iters % 2:
+        for t in range(bt):
+            rr, ri = square(state[2 * t], state[2 * t + 1])
+            state[2 * t], state[2 * t + 1] = block_normalize(rr, ri)
     for t in range(bt):
         ore_ref[t] = state[2 * t]
         oim_ref[t] = state[2 * t + 1]

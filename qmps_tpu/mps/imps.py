@@ -210,9 +210,13 @@ class iMPS:
 
     def entanglement_entropy(self) -> jnp.ndarray:
         """Half-chain von Neumann entropy S = -sum s^2 log s^2 of the
-        bipartition Schmidt spectrum."""
+        bipartition Schmidt spectrum.  The log guard must be dtype-aware:
+        a float literal like 1e-300 underflows to 0 in float32 (the TPU
+        x64-off mode), making the clip a no-op and an exactly-zero Schmidt
+        coefficient yield 0 * log(0) = NaN."""
         s2 = self.schmidt_values() ** 2
-        return -jnp.sum(s2 * jnp.log(jnp.clip(s2, 1e-300, None)))
+        tiny = jnp.finfo(s2.dtype).tiny
+        return -jnp.sum(s2 * jnp.log(jnp.clip(s2, tiny, None)))
 
     # transfer ---------------------------------------------------------------
     def transfer_matrix(self) -> "TransferMatrix":

@@ -102,25 +102,24 @@ def sweep_ground_states(
             i = jnp.argmin(es)
             return es[i], ps[i]
 
-        f = jax.vmap(per_point)
-        if mesh is not None:
-            from jax import shard_map
+        from .mesh import shard_over_sweep
 
-            f = shard_map(
-                f,
-                mesh=mesh,
-                in_specs=(P("sweep"), P("sweep")),
-                out_specs=(P("sweep"), P("sweep")),
-            )
-        fn = jax.jit(f)
+        fn = jax.jit(shard_over_sweep(jax.vmap(per_point), mesh))
         _SWEEP_CACHE[cache_key] = fn
     es, ps = fn(gs, p0s)
-    for _ in range(refine_passes):
+    for k in range(refine_passes):
         for shift in (1, -1):
             p0n = jnp.broadcast_to(
                 jnp.roll(ps, shift, axis=0)[:, None, :],
                 (ps.shape[0], restarts, ps.shape[-1]),
             )
+            if restarts > 1:
+                # diversify the extra restart slots: identical copies of
+                # the neighbor would waste (restarts-1)/restarts of the
+                # pass; jittered copies explore the basin's neighborhood
+                jit_key = jax.random.fold_in(key, 1000 + 2 * k + (shift > 0))
+                noise = 0.05 * jax.random.normal(jit_key, p0n.shape, p0n.dtype)
+                p0n = p0n + noise.at[:, 0, :].set(0.0)  # slot 0 stays exact
             e2, p2 = fn(gs, p0n)
             better = e2 < es
             es = jnp.where(better, e2, es)
