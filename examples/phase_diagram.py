@@ -29,7 +29,9 @@ def main():
     gs = jnp.linspace(0.1, 2.0, n_points)
     mesh = make_mesh() if n_dev > 1 else None
     t0 = time.perf_counter()
-    es, _ = sweep_ground_states(gs, D=2, steps=300, mesh=mesh)
+    # refine_passes=1: adiabatic-continuation re-optimization from each
+    # point's neighbors (kills the occasional bad-basin outlier)
+    es, _ = sweep_ground_states(gs, D=2, steps=300, mesh=mesh, refine_passes=1)
     es.block_until_ready()
     dt = time.perf_counter() - t0
     exact = np.asarray(tfim_gs_energy(gs))
