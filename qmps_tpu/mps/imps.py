@@ -218,9 +218,23 @@ class iMPS:
         tiny = jnp.finfo(s2.dtype).tiny
         return -jnp.sum(s2 * jnp.log(jnp.clip(s2, tiny, None)))
 
-    # transfer ---------------------------------------------------------------
-    def transfer_matrix(self) -> "TransferMatrix":
-        return TransferMatrix(self.blocked)
+    def truncated(self, D_new: int) -> tuple["iMPS", jnp.ndarray]:
+        """Compress to bond dimension D_new by keeping the D_new largest
+        Schmidt vectors of the bipartition (the inverse of the D -> 2D
+        warm-start growth, core/lie.embed_su_params).
+
+        In mixed gauge with C = U S V^dag, the kept left Schmidt basis is
+        the leading columns of U; projecting AL into it and
+        re-canonicalizing gives the compressed state.  Returns
+        (state, kept_weight) where kept_weight = sum of the kept squared
+        Schmidt coefficients (1 - truncation error; exactly 1 when the
+        state's Schmidt rank <= D_new)."""
+        AL, _, C = self.mixed()
+        U, s, _ = jnp.linalg.svd(C)
+        s2 = (s / jnp.linalg.norm(s)) ** 2
+        P = U[:, :D_new]
+        A_new = jnp.einsum("ij,sjk,kl->sil", P.conj().T, AL, P)
+        return iMPS([A_new]).left_canonicalise(), jnp.sum(s2[:D_new])
 
     # observables ------------------------------------------------------------
     def E(self, op: jnp.ndarray, canonical: bool = True) -> jnp.ndarray:

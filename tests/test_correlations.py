@@ -108,3 +108,27 @@ def test_schmidt_and_entropy():
 
     S = float(psi.entanglement_entropy())
     assert 0 < S <= np.log(4) + 1e-12
+
+
+def test_truncation():
+    """Schmidt truncation: D_new = D is lossless (weight 1, unit overlap);
+    the D=4 TFIM ground state truncated to D=2 stays a near-optimal D=2
+    state (energy between the exact value and the known D=2 manifold
+    gap)."""
+    from qmps_tpu.algorithms import find_ground_state
+    from qmps_tpu.ham import tfim, tfim_gs_energy
+    from qmps_tpu.mps.imps import iMPS
+
+    psi = iMPS.random(jax.random.PRNGKey(5), 2, 4)
+    same, w = psi.truncated(4)
+    assert abs(float(w) - 1) < 1e-10
+    assert abs(abs(complex(same.overlap(psi))) - 1) < 1e-8
+
+    gs4 = find_ground_state(tfim(1.0), D=4, ansatz="suN", method="lbfgs", steps=250)
+    psi2, w2 = iMPS([gs4.A]).truncated(2)
+    assert psi2.D == 2 and 0.9 < float(w2) <= 1.0 + 1e-12
+    h = jnp.asarray(tfim(1.0).to_matrix())
+    e_tr = float(psi2.energy(h).real)
+    e_exact = float(tfim_gs_energy(1.0))
+    assert e_tr >= e_exact - 1e-8
+    assert e_tr - e_exact < 5e-3  # near the D=2 manifold optimum (~7e-4 gap)
