@@ -466,10 +466,17 @@ def batched_noise_sweep(
     mesh=None,
 ):
     """The reference's production noise study (scripts/loschmidt.py:335-382
-    — one cluster job per depolarizing probability) as ONE compiled
-    program: the channel strength is an ordinary scalar in the
-    density-matrix objective, so the whole noise family advances in
-    lockstep under vmap (optionally shard_map'd over a mesh).
+    — one cluster job per depolarizing probability) in lockstep: the
+    channel strength is an ordinary scalar in the density-matrix
+    objective, so the whole noise family advances together under vmap
+    (optionally shard_map'd over a mesh).
+
+    The TIME axis runs as a host loop of one compiled vmapped step, not a
+    single giant lax.scan: wrapping the density-matrix objective's inner
+    optimization in an outer scan crashes this TPU backend's worker at
+    production lengths (the same failure mode as jax.scipy gmres under
+    scan, docs/DESIGN.md section 4) — the host loop costs ~ms per step
+    and is the structure MPSTimeEvolve already uses.
 
     Returns (times, rates[len(noise_levels), n_steps]) with
     rate = -log |<psi_0|psi_t>|^2 of the evolved pure parametrized state
@@ -478,6 +485,7 @@ def batched_noise_sweep(
     import optax
 
     from ..objectives.noise import noisy_tdvp_objective
+    from ..parallel.mesh import shard_over_sweep
     from ..parallel.sweep import tfim_matrix
     from .ground_state import find_ground_state
 
@@ -495,29 +503,32 @@ def batched_noise_sweep(
     opt = optax.adam(lr)
     u2t = lambda p: unitary_to_tensor(gate(p))
 
-    def one_traj(p_noise, p0):
+    def one_step(p_noise, p, A0):
         ctype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
         W = jax.scipy.linalg.expm(-1j * tfim_matrix(g1).astype(ctype) * 2 * dt)
-        A0 = u2t(p0)
 
         def loss(pp, A):
             return noisy_tdvp_objective(A, u2t(pp), W, p_noise)
 
         vg = jax.value_and_grad(loss)
-
-        def outer(p, _):
-            A = u2t(p)
-            p_new = _warm_started_minimize(vg, opt, inner_steps, p, A)
-            ov, _ = tr.right_fixed_point(u2t(p_new), A0)
-            return p_new, jnp.abs(ov) ** 2
-
-        _, les = jax.lax.scan(outer, p0, None, length=n_steps)
-        return les
-
-    from ..parallel.mesh import shard_over_sweep
+        A = u2t(p)
+        p_new = _warm_started_minimize(vg, opt, inner_steps, p, A)
+        ov, _ = tr.right_fixed_point(u2t(p_new), A0)
+        return p_new, jnp.abs(ov) ** 2
 
     p0s = jnp.broadcast_to(params0, (ps_noise.shape[0],) + params0.shape)
-    les = jax.jit(shard_over_sweep(jax.vmap(one_traj), mesh))(ps_noise, p0s)
+    step = jax.jit(shard_over_sweep(jax.vmap(one_step), mesh))
+
+    @jax.jit
+    def init_tensors(p0s):
+        return jax.vmap(u2t)(p0s)
+
+    A0s = init_tensors(p0s)
+    ps, les = p0s, []
+    for _ in range(n_steps):
+        ps, le = step(ps_noise, ps, A0s)
+        les.append(le)
+    les = jnp.stack(les, axis=1)  # (len(noise), n_steps)
     times = jnp.arange(1, n_steps + 1) * dt
     return times, -jnp.log(les)
 
