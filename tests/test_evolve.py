@@ -78,3 +78,23 @@ def test_engine_and_shape_validation(key):
         tdvp_objective_pallas(A, A, np.eye(16), iters=2, interpret=True)
     with pytest.raises(ValueError, match="batched"):
         tdvp_objective_pallas(A[0], A[0], np.eye(4), iters=2, interpret=True)
+
+
+def test_jit_cache_bounded_and_keyed():
+    """The compiled-step cache evicts FIFO at its bound and distinguishes
+    gates of identical bytes but different config."""
+    from qmps_tpu.algorithms import evolve as ev
+
+    ev._JIT_CACHE.clear()
+    for i in range(ev._JIT_CACHE_MAX + 5):
+        ev._cached_jit(("k", i), lambda: object())
+    assert len(ev._JIT_CACHE) == ev._JIT_CACHE_MAX
+    assert ("k", 0) not in ev._JIT_CACHE  # oldest evicted
+    assert ("k", ev._JIT_CACHE_MAX + 4) in ev._JIT_CACHE
+    ev._JIT_CACHE.clear()
+
+    # same bytes, different shape/dtype -> different keys
+    k1 = ev._w_key(np.zeros((2, 8), np.float32))
+    k2 = ev._w_key(np.zeros((4, 4), np.float32))
+    k3 = ev._w_key(np.zeros((2, 2), np.complex64))
+    assert len({k1, k2, k3}) == 3

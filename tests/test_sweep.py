@@ -67,3 +67,21 @@ def test_refine_passes_only_improve():
     assert np.all(np.asarray(e1) <= np.asarray(e0) + 1e-12)
     exact = np.asarray(tfim_gs_energy(np.asarray(gs, np.float64)))
     assert np.max(np.asarray(e1, np.float64) - exact) < 5e-3
+
+
+def test_shard_over_sweep_identity_and_mesh():
+    """shard_over_sweep is the identity without a mesh and a pure layout
+    change with one (multi-output functions included)."""
+    from qmps_tpu.parallel import make_mesh
+    from qmps_tpu.parallel.mesh import shard_over_sweep
+
+    def f(a, b):
+        return a * 2 + b, (a - b).sum(axis=-1)
+
+    assert shard_over_sweep(f, None) is f
+    a = jnp.arange(16.0).reshape(8, 2)
+    b = jnp.ones((8, 2))
+    x0, y0 = f(a, b)
+    x1, y1 = jax.jit(shard_over_sweep(f, make_mesh()))(a, b)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0))
