@@ -41,7 +41,9 @@ def arnoldi(matvec: Callable, v0: jnp.ndarray, k: int):
     n = v0.shape[0]
     dtype = v0.dtype
     nrm0 = jnp.linalg.norm(v0)
-    Q0 = jnp.zeros((k + 1, n), dtype).at[0].set(v0 / jnp.maximum(nrm0, 1e-300))
+    Q0 = jnp.zeros((k + 1, n), dtype).at[0].set(
+        v0 / jnp.maximum(nrm0, jnp.finfo(v0.real.dtype).tiny)
+    )
     H0 = jnp.zeros((k + 1, k), dtype)
 
     def step(carry, j):
@@ -56,7 +58,7 @@ def arnoldi(matvec: Callable, v0: jnp.ndarray, k: int):
         w = w - Q.T @ h2
         h = h + h2
         beta = jnp.linalg.norm(w)
-        Q = Q.at[j + 1].set(w / jnp.maximum(beta, 1e-300))
+        Q = Q.at[j + 1].set(w / jnp.maximum(beta, jnp.finfo(w.real.dtype).tiny))
         H = H.at[:, j].set(h).at[j + 1, j].set(beta.astype(dtype))
         return (Q, H), None
 
@@ -74,7 +76,7 @@ def dominant_eigpair_arnoldi(
 
     Each cycle: k-step Arnoldi, dominant Ritz pair of the small (k, k)
     Hessenberg matrix by repeated squaring (log2-convergent for ANY spectral
-    gap — see mps/transfer.dominant_eig_dense), restart from the Ritz
+    gap — see core.linalg.dominant_eig_dense), restart from the Ritz
     vector.  Near-degenerate dominant pairs (gap ratio ~0.999) are resolved
     because both vectors enter the Krylov space and the projected problem
     separates them exactly.  Differentiable, but consumers should wrap it in
@@ -82,7 +84,7 @@ def dominant_eigpair_arnoldi(
 
     Returns (lam, v) with |v| = 1 (phase arbitrary).
     """
-    from ..mps.transfer import dominant_eig_dense
+    from .linalg import dominant_eig_dense
 
     def cycle(v, _):
         Q, H = arnoldi(matvec, v, k)

@@ -7,6 +7,7 @@ batchable.  Completion here is QR-based with a fixed deterministic filler
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -134,3 +135,65 @@ def split_ns(x: jnp.ndarray, n: int) -> jnp.ndarray:
     if x.shape[0] % n:
         raise ValueError(f"length {x.shape[0]} is not a multiple of {n}")
     return x.reshape(-1, n)
+
+
+def spectral_radius_dense(E: jnp.ndarray, n_squarings: int = 30) -> jnp.ndarray:
+    """rho(E) = max |eigenvalue| by Gelfand's formula through the repeated
+    -squaring normalization factors: with M_0 = E/||E|| and
+    M_{k+1} = M_k^2 / s_k, s_k = ||M_k^2||_F, one has
+    log rho = log||E|| + sum_k log(s_k) / 2^(k+1) as k -> inf.
+
+    Unlike ``dominant_eig_dense`` (Rayleigh quotient at a converged
+    vector), this is correct when the dominant eigenvalue is a COMPLEX
+    CONJUGATE PAIR — the generic situation for the subdominant transfer
+    eigenvalue of a uMPS with oscillatory correlations, where squaring
+    has no single eigenvector to converge to but the norm growth rate is
+    still rho."""
+
+    def step(carry, k):
+        M, acc = carry
+        M2 = M @ M
+        s = jnp.linalg.norm(M2)
+        return (M2 / jnp.maximum(s, jnp.finfo(M2.real.dtype).tiny), acc + jnp.log(s) / (2.0 ** (k + 1))), None
+
+    nrm = jnp.linalg.norm(E)
+    M0 = E / jnp.maximum(nrm, jnp.finfo(E.real.dtype).tiny)
+    (_, acc), _ = jax.lax.scan(
+        step, (M0, jnp.zeros((), E.real.dtype)), jnp.arange(n_squarings)
+    )
+    return nrm * jnp.exp(acc)
+
+
+def dominant_eig_dense(E: jnp.ndarray, n_squarings: int = 40):
+    """Dominant eigenpair of a dense matrix by repeated squaring.
+
+    Returns (lam, v) with v unit-norm (arbitrary phase).  Error after k
+    squarings ~ |lam_2/lam_1|^(2^k): converged to machine precision for any
+    nontrivial gap.  Differentiable (matmul chain).
+    """
+    n = E.shape[0]
+
+    def step(M, _):
+        M2 = M @ M
+        M2 = M2 / jnp.linalg.norm(M2)
+        return M2, None
+
+    M0 = E / jnp.linalg.norm(E)
+    M, _ = jax.lax.scan(step, M0, None, length=n_squarings)
+    # a generic start vector; vec(I) has weight on the dominant eigenvector
+    # for transfer operators (overlap with the fixed point is the state norm)
+    v0 = jnp.eye(int(n**0.5 + 0.5), dtype=E.dtype).reshape(-1) if int(n**0.5 + 0.5) ** 2 == n else jnp.ones((n,), E.dtype)
+    v = M @ v0
+    # fall back to a fixed pseudo-random vector if v0 was (near-)orthogonal
+    # to the dominant eigenspace
+    alt = M @ _chirp(n, E.dtype)
+    use_alt = jnp.linalg.norm(v) < 1e-8 * jnp.linalg.norm(alt)
+    v = jnp.where(use_alt, alt, v)
+    v = v / jnp.linalg.norm(v)
+    lam = jnp.vdot(v, E @ v)
+    return lam, v
+
+
+def _chirp(n: int, dtype) -> jnp.ndarray:
+    k = jnp.arange(n)
+    return (jnp.cos(0.7 * k + 0.3) + 1j * jnp.sin(1.3 * k + 1.1)).astype(dtype)

@@ -40,9 +40,15 @@ def random_tensor(key, d: int = 2, D: int = 2, dtype=CDTYPE) -> jnp.ndarray:
 
 
 def _cholesky_psd(M: jnp.ndarray) -> jnp.ndarray:
-    """Cholesky of a hermitian PSD matrix with a tiny jitter for safety."""
+    """Cholesky of a hermitian PSD matrix with a tiny jitter for safety.
+
+    The jitter must scale with the DTYPE's epsilon: a fixed 1e-14 is far
+    below complex64 resolution, so in TPU (x64-off) mode rank-deficient
+    fixed points — product states, D -> 2D warm-start embeddings — have
+    f32 roundoff eigenvalues ~ -1e-8 that 1e-14 cannot lift, and
+    jnp.linalg.cholesky silently returns NaN."""
     M = (M + cT(M)) / 2
-    eps = 1e-14 * jnp.trace(M).real
+    eps = 32 * jnp.finfo(M.real.dtype).eps * jnp.trace(M).real
     return jnp.linalg.cholesky(M + eps * jnp.eye(M.shape[-1], dtype=M.dtype))
 
 
@@ -52,8 +58,21 @@ def _qr_pos(mat: jnp.ndarray):
     seed-dependent)."""
     Q, R = jnp.linalg.qr(mat)
     dg = jnp.diagonal(R)
-    ph = dg / jnp.where(jnp.abs(dg) > 1e-300, jnp.abs(dg), 1.0)
+    ph = dg / jnp.where(jnp.abs(dg) > jnp.finfo(dg.real.dtype).tiny, jnp.abs(dg), 1.0)
     return Q * ph[None, :], R * ph.conj()[:, None]
+
+
+
+def _pinv_tri(M: jnp.ndarray, rcond: float = 1e-6) -> jnp.ndarray:
+    """SVD pseudo-inverse with relative cutoff for gauge matrices: plain
+    inv() of a rank-deficient center/boundary matrix (product states,
+    D -> 2D warm-start embeddings, post-truncation states) returns
+    inf/NaN; the cutoff drops the null directions instead (the same guard
+    tdvp._pinv documents as standard)."""
+    u, s, vh = jnp.linalg.svd(M)
+    cut = rcond * s[0]
+    sinv = jnp.where(s > cut, 1.0 / jnp.maximum(s, cut), 0.0)
+    return cT(vh) @ (sinv[:, None] * cT(u))
 
 
 def left_orthogonalise(A: jnp.ndarray, dense: bool = True):
@@ -69,7 +88,7 @@ def left_orthogonalise(A: jnp.ndarray, dense: bool = True):
     l = l / jnp.trace(l)
     C = _cholesky_psd(l)  # l = C C^dag, lower triangular C
     M = cT(C)  # upper; l = M^dag M
-    Minv = jnp.linalg.inv(M)
+    Minv = _pinv_tri(M)
     AL = jnp.einsum("ij,sjk,kl->sil", M, A, Minv) / jnp.sqrt(eta.real)
     return AL, M, eta
 
@@ -80,7 +99,7 @@ def right_orthogonalise(A: jnp.ndarray, dense: bool = True):
     r = (r + cT(r)) / 2
     r = r / jnp.trace(r)
     C = _cholesky_psd(r)  # r = C C^dag
-    Cinv = jnp.linalg.inv(C)
+    Cinv = _pinv_tri(C)
     AR = jnp.einsum("ij,sjk,kl->sil", Cinv, A, C) / jnp.sqrt(eta.real)
     return AR, C, eta
 
@@ -196,7 +215,7 @@ class iMPS:
         r = (r + cT(r)) / 2
         r = r / jnp.trace(r)
         C = _cholesky_psd(r)  # r = C C^dag
-        Cinv = jnp.linalg.inv(C)
+        Cinv = _pinv_tri(C)
         AR = jnp.einsum("ij,sjk,kl->sil", Cinv, AL, C)
         return AL, AR, C
 
@@ -275,23 +294,28 @@ class iMPS:
         return self.E2(h).real
 
     def correlation_length(self) -> jnp.ndarray:
-        """xi = -1 / log |lambda_2 / lambda_1| of the transfer spectrum.
+        """xi = -1 / log (|lambda_2| / |lambda_1|) of the transfer spectrum.
 
-        The subdominant eigenvalue comes from one step of deflated power
-        iteration on the dense transfer matrix (device-friendly: no
-        general eigensolver needed)."""
+        The dominant pair is deflated (left/right eigenvector pair — the
+        transfer operator is non-normal) and |lambda_2| of the deflated
+        matrix is taken as its SPECTRAL RADIUS via Gelfand's formula
+        (transfer.spectral_radius_dense), NOT a Rayleigh quotient: the
+        subdominant eigenvalue is generically a complex-conjugate pair
+        (oscillatory correlations), where squaring has no eigenvector to
+        converge to and a Rayleigh quotient at the mixed vector
+        underestimates |lambda_2| badly (measured 0.55 -> 0.02 on random
+        D=3 states; the radius form is exact to ~1e-7)."""
         A = self.blocked
         AL, _, _ = left_orthogonalise(A)
         E = tr.transfer_dense(AL, AL)
         lam1, v1 = tr.dominant_eig_dense(E)
-        # deflate the dominant pair and find the next eigenvalue; for the
-        # (generically non-normal) transfer operator use left/right pair
         lam1l, w1 = tr.dominant_eig_dense(E.conj().T)
         w1 = w1 / jnp.vdot(w1, v1).conj()
         E2 = E - lam1 * jnp.outer(v1, w1.conj())
-        lam2, _ = tr.dominant_eig_dense(E2)
-        ratio = jnp.abs(lam2) / jnp.abs(lam1)
-        return -1.0 / jnp.log(jnp.clip(ratio, 1e-300, 1 - 1e-15))
+        rho2 = tr.spectral_radius_dense(E2)
+        ratio = rho2 / jnp.abs(lam1)
+        eps = jnp.finfo(ratio.dtype).eps
+        return -1.0 / jnp.log(jnp.clip(ratio, jnp.finfo(ratio.dtype).tiny, 1 - eps))
 
     def correlator(self, op1, op2, max_dist: int = 20) -> jnp.ndarray:
         """Connected two-point function C(r) = <O1_0 O2_r> - <O1><O2> for

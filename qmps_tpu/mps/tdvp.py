@@ -19,19 +19,17 @@ import dataclasses
 import jax.numpy as jnp
 
 from ..core.linalg import cT
-from .imps import left_orthogonalise
 from . import transfer as tr
 
 
 def mixed_gauge(A):
-    """(AL, AR, C) for an arbitrary uMPS tensor."""
-    AL, _, _ = left_orthogonalise(A)
-    _, r = tr.right_fixed_point(AL, AL)
-    r = (r + cT(r)) / 2
-    r = r / jnp.trace(r)
-    C = jnp.linalg.cholesky(r + 1e-14 * jnp.eye(r.shape[0], dtype=r.dtype))
-    AR = jnp.einsum("ij,sjk,kl->sil", _pinv(C), AL, C)
-    return AL, AR, C
+    """(AL, AR, C) for an arbitrary uMPS tensor — delegates to iMPS.mixed
+    so there is exactly ONE mixed-gauge implementation (two parallel
+    copies with divergent inverse/jitter handling once disagreed on
+    near-singular states)."""
+    from .imps import iMPS
+
+    return iMPS([A]).mixed()
 
 
 def _two_site(X):
@@ -64,10 +62,17 @@ def _solve_left_env(AL, r, rhs):
 
 
 def _solve_right_env(AR, l, rhs):
-    """x solving  x - E_R(x) + tr(l x) I = rhs  (E_R(x) = sum AR x AR^dag)."""
+    """x solving  x - E_R(x) + tr(l x) I = rhs  (E_R(x) = sum AR x AR^dag).
+
+    The rank-1 row is the functional x -> tr(l x) in row-major vec form:
+    tr(l x) = sum_ij l[i,j] x[j,i] = l.T.flat . x.flat — the transpose is
+    load-bearing (l.flat encodes tr(l^T x); for complex l the difference
+    shifted HR by a complex multiple of I.  It cancelled in dA_dt's
+    dAC - AL dC, which is why the TDVP trajectories were right, but any
+    direct consumer of HR / H_C saw the shift)."""
     D = AR.shape[1]
     ER = jnp.einsum("sai,sbj->abij", AR, AR.conj()).reshape(D * D, D * D)
-    corr = jnp.outer(jnp.eye(D, dtype=AR.dtype).reshape(-1), l.reshape(-1))
+    corr = jnp.outer(jnp.eye(D, dtype=AR.dtype).reshape(-1), l.T.reshape(-1))
     M = jnp.eye(D * D, dtype=AR.dtype) - ER + corr
     return jnp.linalg.solve(M, rhs.reshape(-1)).reshape(D, D)
 
@@ -151,24 +156,27 @@ def _pinv(C, rcond: float = 1e-6):
     return cT(vh) @ (sinv[:, None] * cT(u))
 
 
+def _refresh_C(ALn):
+    """C from the right fixed point of a (new) left-isometric AL — keeps
+    the gauge exact after a retraction (shared by both steppers)."""
+    D = ALn.shape[1]
+    _, r = tr.right_fixed_point(ALn, ALn)
+    r = (r + cT(r)) / 2
+    r = r / jnp.trace(r)
+    return jnp.linalg.cholesky(
+        r + 32 * jnp.finfo(r.real.dtype).eps * jnp.eye(D, dtype=r.dtype)
+    )
+
+
 def tdvp_step(AL, C, h, dt: float):
     """One explicit-Euler TDVP step in mixed gauge with polar re-extraction
     of AL (AL <- polar(AC') polar(C')^dag): gauge-preserving by
     construction."""
-    d, D, _ = AL.shape
     AR = jnp.einsum("ij,sjk,kl->sil", _pinv(C), AL, C)
     dAC, dC, e = dAC_dC_dt(AL, AR, C, h)
     AC = jnp.einsum("sij,jk->sik", AL, C) + dt * dAC
-    C2 = C + dt * dC
-    UAC = _polar_left(AC.transpose(1, 0, 2).reshape(D * d, D))
-    UC = _polar_left(C2)
-    ALn = (UAC @ cT(UC)).reshape(D, d, D).transpose(1, 0, 2)
-    # refresh C as the fixed point of the new AL (keeps gauge exact)
-    _, r = tr.right_fixed_point(ALn, ALn)
-    r = (r + cT(r)) / 2
-    r = r / jnp.trace(r)
-    Cn = jnp.linalg.cholesky(r + 1e-14 * jnp.eye(D, dtype=r.dtype))
-    return ALn, Cn, e
+    ALn = _extract_AL(AC, C + dt * dC)
+    return ALn, _refresh_C(ALn), e
 
 
 def _extract_AL(AC, C2):
@@ -208,13 +216,7 @@ def tdvp_step_rk4(AL, C, h, dt: float):
     AC = AC0 + (dt / 6.0) * (k1AC + 2 * k2AC + 2 * k3AC + k4AC)
     C2 = C + (dt / 6.0) * (k1C + 2 * k2C + 2 * k3C + k4C)
     ALn = _extract_AL(AC, C2)
-    # refresh C as the fixed point of the new AL (keeps gauge exact)
-    D = C.shape[0]
-    _, r = tr.right_fixed_point(ALn, ALn)
-    r = (r + cT(r)) / 2
-    r = r / jnp.trace(r)
-    Cn = jnp.linalg.cholesky(r + 1e-14 * jnp.eye(D, dtype=r.dtype))
-    return ALn, Cn, e
+    return ALn, _refresh_C(ALn), e
 
 
 @dataclasses.dataclass

@@ -30,6 +30,16 @@ import jax.numpy as jnp
 from jax import lax
 
 
+# generic dense eigensolvers live in core.linalg (no MPS content; keeping
+# them there preserves the core -> mps layering — core.krylov needs them
+# too); re-exported here because this module is their historical home
+from ..core.linalg import (  # noqa: E402, F401
+    _chirp,
+    dominant_eig_dense,
+    spectral_radius_dense,
+)
+
+
 def right_matvec(A: jnp.ndarray, B: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """(E r) = sum_s A[s] r B[s]^dag  — right action of the mixed transfer
     operator E^A_B (xmps Map convention)."""
@@ -46,41 +56,6 @@ def transfer_dense(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("sik,sjl->ijkl", A, B.conj()).reshape(
         A.shape[1] * B.shape[1], A.shape[2] * B.shape[2]
     )
-
-
-def dominant_eig_dense(E: jnp.ndarray, n_squarings: int = 40):
-    """Dominant eigenpair of a dense matrix by repeated squaring.
-
-    Returns (lam, v) with v unit-norm (arbitrary phase).  Error after k
-    squarings ~ |lam_2/lam_1|^(2^k): converged to machine precision for any
-    nontrivial gap.  Differentiable (matmul chain).
-    """
-    n = E.shape[0]
-
-    def step(M, _):
-        M2 = M @ M
-        M2 = M2 / jnp.linalg.norm(M2)
-        return M2, None
-
-    M0 = E / jnp.linalg.norm(E)
-    M, _ = lax.scan(step, M0, None, length=n_squarings)
-    # a generic start vector; vec(I) has weight on the dominant eigenvector
-    # for transfer operators (overlap with the fixed point is the state norm)
-    v0 = jnp.eye(int(n**0.5 + 0.5), dtype=E.dtype).reshape(-1) if int(n**0.5 + 0.5) ** 2 == n else jnp.ones((n,), E.dtype)
-    v = M @ v0
-    # fall back to a fixed pseudo-random vector if v0 was (near-)orthogonal
-    # to the dominant eigenspace
-    alt = M @ _chirp(n, E.dtype)
-    use_alt = jnp.linalg.norm(v) < 1e-8 * jnp.linalg.norm(alt)
-    v = jnp.where(use_alt, alt, v)
-    v = v / jnp.linalg.norm(v)
-    lam = jnp.vdot(v, E @ v)
-    return lam, v
-
-
-def _chirp(n: int, dtype) -> jnp.ndarray:
-    k = jnp.arange(n)
-    return (jnp.cos(0.7 * k + 0.3) + 1j * jnp.sin(1.3 * k + 1.1)).astype(dtype)
 
 
 def dominant_eig_power(

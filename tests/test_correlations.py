@@ -132,3 +132,30 @@ def test_truncation():
     e_exact = float(tfim_gs_energy(1.0))
     assert e_tr >= e_exact - 1e-8
     assert e_tr - e_exact < 5e-3  # near the D=2 manifold optimum (~7e-4 gap)
+
+
+def test_correlation_length_complex_subdominant():
+    """xi must match numpy eig even when lambda_2 is a complex-conjugate
+    pair (the generic oscillatory-correlation case, where a Rayleigh
+    quotient on the deflated squared matrix underestimated |lambda_2| by
+    up to 25x)."""
+    from qmps_tpu.mps import transfer as tr
+    from qmps_tpu.mps.imps import iMPS
+
+    for seed in range(6):
+        psi = iMPS.random(jax.random.PRNGKey(seed), 2, 3)
+        A = psi.left_canonicalise()[0]
+        E = np.asarray(tr.transfer_dense(A, A))
+        w = np.sort(np.abs(np.linalg.eigvals(E)))[::-1]
+        xi_true = -1.0 / np.log(w[1] / w[0])
+        xi = float(psi.correlation_length())
+        assert abs(xi - xi_true) / xi_true < 1e-5
+
+    # engineered dominant complex pair for the radius helper itself
+    th = 1.2
+    R = 0.8 * np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    M = np.zeros((4, 4))
+    M[:2, :2] = R
+    M[2, 2], M[3, 3] = 0.3, 0.1
+    rho = float(tr.spectral_radius_dense(jnp.asarray(M, jnp.complex128)))
+    np.testing.assert_allclose(rho, 0.8, atol=1e-8)

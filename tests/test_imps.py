@@ -227,3 +227,25 @@ class TestMultiSiteCanonical:
         again = can.left_canonicalise()
         for A, B in zip(can.data, again.data):
             np.testing.assert_allclose(np.asarray(A), np.asarray(B), atol=1e-8)
+
+
+def test_rank_deficient_f32_stays_finite():
+    """Rank-deficient states in float32 (the TPU x64-off mode): the
+    canonical forms, mixed gauge, entropy, and truncation must all stay
+    finite — a fixed 1e-14 cholesky jitter underflowed below complex64
+    resolution and every one of these silently NaN'd."""
+    A2 = np.zeros((2, 2, 2), np.complex64)
+    A2[0, 0, 0] = 1
+    A2[1, 1, 0] = 1
+    A4 = np.zeros((2, 4, 4), np.complex64)
+    A4[:, :2, :2] = A2  # product state embedded at D=4: Schmidt rank 1
+    psi = iMPS([jnp.asarray(A4)])
+    assert np.all(np.isfinite(np.asarray(psi.left_canonicalise()[0])))
+    AL, AR, C = psi.mixed()
+    for x in (AL, AR, C):
+        assert np.all(np.isfinite(np.asarray(x)))
+    S = float(psi.entanglement_entropy())
+    assert np.isfinite(S) and S < 1e-3  # product state: ~the f32 jitter floor
+    tr_state, w = psi.truncated(2)
+    assert np.all(np.isfinite(np.asarray(tr_state[0])))
+    assert float(w) > 0.999

@@ -111,3 +111,38 @@ def test_dA_dt_gauge_condition(key):
     A2 = A + dt * B
     n = iMPS([A2]).overlap(iMPS([A2]))
     np.testing.assert_allclose(float(n), 1.0, atol=1e-6)
+
+
+def test_environment_solves_satisfy_their_equations(key):
+    """HL and HR satisfy the regularized environment equations they
+    document (the right solve's rank-1 row once encoded tr(l^T x) instead
+    of tr(l x) — residual 0.23 on complex states)."""
+    from qmps_tpu.mps.tdvp import (
+        _two_site,
+        hamiltonian_environments,
+        mixed_gauge,
+    )
+    from qmps_tpu.ham import tfim
+
+    A, _ = iMPS.random(key, 2, 3), None
+    AL, AR, C = mixed_gauge(A[0])
+    h = tfim(1.2).to_matrix()
+    HL, HR, e = hamiltonian_environments(AL, AR, C, jnp.asarray(h))
+
+    r = C @ C.conj().T
+    l = C.conj().T @ C
+    h4 = jnp.asarray(h).reshape(2, 2, 2, 2)
+    AL2, AR2 = _two_site(AL), _two_site(AR)
+    hL = jnp.einsum("uvia,stib,uvst->ab", AL2.conj(), AL2, h4)
+    hL = hL - jnp.trace(hL @ r).real * jnp.eye(3, dtype=hL.dtype)
+    hR = jnp.einsum("stak,uvbk,uvst->ab", AR2, AR2.conj(), h4)
+    hR = hR - jnp.trace(l @ hR) * jnp.eye(3, dtype=hR.dtype)
+
+    # x - E_L(x) + tr(x r) I = rhs
+    EL_H = jnp.einsum("sia,sjb,ij->ab", AL.conj(), AL, HL)
+    resL = HL - EL_H + jnp.trace(HL @ r) * jnp.eye(3, dtype=HL.dtype) - hL
+    assert float(jnp.linalg.norm(resL)) < 1e-10
+    # x - E_R(x) + tr(l x) I = rhs
+    ER_H = jnp.einsum("sai,sbj,ij->ab", AR, AR.conj(), HR)
+    resR = HR - ER_H + jnp.trace(l @ HR) * jnp.eye(3, dtype=HR.dtype) - hR
+    assert float(jnp.linalg.norm(resR)) < 1e-10
