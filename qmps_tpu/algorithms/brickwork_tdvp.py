@@ -114,10 +114,10 @@ class BrickworkEvolver:
                 up, s = opt.update(g, s)
                 return (optax.apply_updates(p, up), s), v
 
-            (p, _), hist = jax.lax.scan(
+            (p, _), _ = jax.lax.scan(
                 inner, (params, opt.init(params)), None, length=self.inner_steps
             )
-            return p, hist[-1]
+            return p, evolve_cost_eig(p, params, W)  # value at returned params
 
         self._step = step
 

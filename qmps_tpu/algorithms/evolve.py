@@ -119,17 +119,28 @@ class MPSTimeEvolve:
     def tensor(self, params) -> jnp.ndarray:
         return unitary_to_tensor(self.gate(params))
 
+    def _loss_fn(self):
+        """params, A -> objective.  Subclasses override this (and
+        _cache_key) instead of copying the whole step builder."""
+        gate, W = self.gate, self.W
+
+        def loss(p, A):
+            B = unitary_to_tensor(gate(p))
+            return tdvp_objective(A, B, W)
+
+        return loss
+
+    def _cache_key(self):
+        return ("tdvp_step", self.gate, self.inner_steps, self.lr, _w_key(self.W))
+
     def _build_step(self):
-        gate, W, inner, lr = self.gate, self.W, self.inner_steps, self.lr
-        key = ("tdvp_step", gate, inner, lr, _w_key(W))
+        gate, inner, lr = self.gate, self.inner_steps, self.lr
+        key = self._cache_key()
+        loss_fn = self._loss_fn()
 
         def build():
             opt = optax.adam(lr)
-
-            def loss(p, A):
-                B = unitary_to_tensor(gate(p))
-                return tdvp_objective(A, B, W)
-
+            loss = loss_fn
             vg = jax.value_and_grad(loss)
 
             @jax.jit
@@ -142,10 +153,13 @@ class MPSTimeEvolve:
                     up, s = opt.update(g, s)
                     return (optax.apply_updates(p, up), s), v
 
-                (p, _), hist = jax.lax.scan(
+                (p, _), _ = jax.lax.scan(
                     inner_step, (params, opt.init(params)), None, length=inner
                 )
-                return p, hist[-1]
+                # evaluate at the RETURNED params: the scan history records
+                # the loss before each update, so hist[-1] belongs to the
+                # penultimate iterate
+                return p, loss(p, A)
 
             return step
 
@@ -416,41 +430,22 @@ class NoisyMPSTimeEvolve(MPSTimeEvolve):
         self.p_noise = depolarizing_prob
         super().__init__(H, dt, **kw)
 
-    def _build_step(self):
-        import optax
-
+    def _loss_fn(self):
         from ..objectives.noise import noisy_tdvp_objective
 
-        gate, W, inner, lr, p = self.gate, self.W, self.inner_steps, self.lr, self.p_noise
-        key = ("noisy_tdvp_step", gate, inner, lr, float(p), _w_key(W))
+        gate, W, p = self.gate, self.W, self.p_noise
 
-        def build():
-            opt = optax.adam(lr)
+        def loss(pp, A):
+            B = unitary_to_tensor(gate(pp))
+            return noisy_tdvp_objective(A, B, W, p)
 
-            def loss(pp, A):
-                B = unitary_to_tensor(gate(pp))
-                return noisy_tdvp_objective(A, B, W, p)
+        return loss
 
-            vg = jax.value_and_grad(loss)
-
-            @jax.jit
-            def step(params):
-                A = unitary_to_tensor(gate(params))
-
-                def inner_step(carry, _):
-                    pp, s = carry
-                    v, g = vg(pp, A)
-                    up, s = opt.update(g, s)
-                    return (optax.apply_updates(pp, up), s), v
-
-                (pp, _), hist = jax.lax.scan(
-                    inner_step, (params, opt.init(params)), None, length=inner
-                )
-                return pp, hist[-1]
-
-            return step
-
-        return _cached_jit(key, build)
+    def _cache_key(self):
+        return (
+            "noisy_tdvp_step", self.gate, self.inner_steps, self.lr,
+            float(self.p_noise), _w_key(self.W),
+        )
 
 
 def batched_noise_sweep(

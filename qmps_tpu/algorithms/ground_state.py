@@ -94,7 +94,7 @@ def find_ground_state(
     )
 
 
-def _run(loss, x0, method, steps) -> OptResult:
+def _run(loss, x0, method, steps, stateful: bool = False) -> OptResult:
     if method == "adam":
         return minimize_adam(loss, x0, steps=steps)
     if method == "lbfgs":
@@ -103,7 +103,7 @@ def _run(loss, x0, method, steps) -> OptResult:
         x, hist = rotosolve(loss, x0, n_sweeps=max(1, steps // 10))
         # jitted final evaluation: eager complex ops fail on the axon backend
         return OptResult(x=x, fun=float(jax.jit(loss)(x)), history=hist, nit=steps)
-    return minimize_scipy(loss, x0, method=method)
+    return minimize_scipy(loss, x0, method=method, jit_objective=not stateful)
 
 
 # -- reference-named wrappers -------------------------------------------------
@@ -129,12 +129,17 @@ class _OptimizerBase:
     def objective_function(self, params):
         raise NotImplementedError
 
+    #: subclasses with per-evaluation state (e.g. a PRNG split for shot
+    #: noise) set this so the scipy bridge does not jit the objective
+    _stateful_objective = False
+
     def optimize(self):
         res = _run(
             self.objective_function,
             self.initial_guess,
             self.settings["method"],
             self.settings["maxiter"],
+            stateful=self._stateful_objective,
         )
         self.optimized_result = res
         if res.history is not None:
@@ -292,18 +297,39 @@ class NoisySparseSampledEnergyOptimizer(_OptimizerBase):
             )
         return super().optimize()
 
-    def objective_function(self, params):
-        from ..circuits.ansatze import STATE_ANSATZE, STATE_ANSATZE_OPS
-        from ..env.exact import get_env_exact
-        from ..env.variational import state_circuit_psi
-        from ..objectives.sampling import measure_energy
+    _stateful_objective = True  # host-side PRNG split per evaluation
 
-        # new shot noise every evaluation, like hardware would give
+    def _jitted_eval(self):
+        fn = getattr(self, "_eval_fn", None)
+        if fn is None:
+            from ..circuits.ansatze import STATE_ANSATZE
+            from ..env.exact import get_env_exact
+            from ..env.variational import state_circuit_psi
+            from ..objectives.sampling import measure_energy
+
+            build, D, strings, shots = (
+                STATE_ANSATZE[self.ansatz], self.D, self.H.strings, self.n_samples
+            )
+
+            @jax.jit
+            def fn(params, key):
+                U = build(D, params)
+                V = get_env_exact(U)
+                psi = state_circuit_psi(U, V, 2)
+                return measure_energy(key, strings, psi, qubits=(1, 2), shots=shots)
+
+            self._eval_fn = fn
+        return fn
+
+    def objective_function(self, params):
+        # the SPLIT happens on the host, outside any trace, so every
+        # evaluation draws fresh shot noise even under the scipy bridge
+        # (the class is marked _stateful_objective so the bridge never
+        # jits this outer function — a jit would freeze the key at trace
+        # time and leak a tracer into self.key); the pure inner
+        # evaluation is jitted once per instance
         self.key, sub = jax.random.split(self.key)
-        U = STATE_ANSATZE[self.ansatz](self.D, params)
-        V = get_env_exact(U)
-        psi = state_circuit_psi(U, V, 2)
-        return measure_energy(sub, self.H.strings, psi, qubits=(1, 2), shots=self.n_samples)
+        return self._jitted_eval()(params, sub)
 
 
 class GuessInitialFullParameterOptimizer(_OptimizerBase):

@@ -72,10 +72,10 @@ class ScarsEvolver:
                 up, s = opt.update(g, s)
                 return (optax.apply_updates(p, up), s), v
 
-            (p, _), hist = jax.lax.scan(
+            (p, _), _ = jax.lax.scan(
                 inner, (params, opt.init(params)), None, length=self.inner_steps
             )
-            return p, hist[-1]
+            return p, scars_cost(p, params, W)  # value at the returned params
 
         self._step = step
 
@@ -151,16 +151,24 @@ def poincare_sections(
     out = []
     for traj in np.asarray(trajs):
         x = traj[:, plane_coord]
-        # unwrapped crossing detection
-        d = x - plane_value
+        # ANGULAR distance to the plane, mapped to (-pi, pi]: trajectories
+        # are wrapped to [0, 2 pi), so the raw difference jumps by ~2 pi at
+        # the 0/2 pi seam and a naive sign test reports spurious crossings
+        # there (verified: an orbit oscillating around 0, never reaching
+        # pi, produced phantom section points)
+        d = np.mod(x - plane_value + np.pi, 2 * np.pi) - np.pi
         sign = np.sign(d)
-        idx = np.where((sign[:-1] < 0) & (sign[1:] >= 0))[0]
+        # genuine upward crossing: sign change AND a step small enough to
+        # not be the seam jump itself
+        small = np.abs(d[1:] - d[:-1]) < np.pi / 2
+        idx = np.where((sign[:-1] < 0) & (sign[1:] >= 0) & small)[0]
         pts = []
         for i in idx:
             f = -d[i] / (d[i + 1] - d[i] + 1e-30)
             pts.append(traj[i] + f * (traj[i + 1] - traj[i]))
         pts = np.array(pts) if pts else np.zeros((0, traj.shape[1]))
-        out.append(pts[:, list(coords)] if len(pts) else pts)
+        # the documented (n_crossings, len(coords)) shape also when empty
+        out.append(pts[:, list(coords)])
     return out
 
 

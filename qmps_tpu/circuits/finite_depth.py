@@ -56,28 +56,34 @@ def staircase_state(U: jnp.ndarray, depth: int = 2, support: int = 2) -> jnp.nda
     brick U over a window wide enough that the central ``support`` qubits
     see the full lightcone (brick_wall_state, finite_depth.py:66-81).
 
-    Layer k (k = 0 deepest) applies U on pairs offset by k qubits from each
-    edge; qubit count = 2 (depth - 1) + 2 ceil(support / 2).
+    Layer k applies U on pairs offset by k qubits from each edge — the
+    WIDEST layer first, narrowing toward the central support (the
+    lightcone pyramid of finite_depth.py:76-81, where width runs
+    depth..1 so offset = depth - width increases).  With the orientation
+    inverted (narrowest first) the central qubits do NOT see the full
+    lightcone: the central 2-qubit RDM differed from the wide-window
+    brickwork reference by 0.93 in Frobenius norm (it matches to 4e-15
+    this way — regression-tested).  Qubit count =
+    2 (depth - 1) + 2 ceil(support / 2).
     """
     n = 2 * (depth - 1) + 2 * ((support + 1) // 2)
     psi = jnp.zeros((2**n,), CDTYPE).at[0].set(1.0)
-    for k in range(depth):  # k = offset from each edge, deepest first
-        off = depth - 1 - k
+    for off in range(depth):  # offset from each edge, widest layer first
         for q in range(off, n - off - 1, 2):
             psi = apply_unitary(psi, U, (q, q + 1), n)
     return psi
 
 
 def grow_staircase(U: jnp.ndarray, W: jnp.ndarray, depth: int = 2, support: int = 2) -> jnp.ndarray:
-    """State of depth+2 whose two outermost layers are the Trotter brick W
-    instead of U (brick_wall_state.grow, finite_depth.py:84-106):
-    finite-depth evolution of the staircase."""
+    """State of depth+2 whose two INNERMOST (last-applied, narrowest)
+    layers are the Trotter brick W instead of U (brick_wall_state.grow,
+    finite_depth.py:84-106, widths 2 and 1): finite-depth evolution of
+    the staircase."""
     total = depth + 2
     n = 2 * (total - 1) + 2 * ((support + 1) // 2)
     psi = jnp.zeros((2**n,), CDTYPE).at[0].set(1.0)
-    for k in range(total):
-        off = total - 1 - k
-        brick = U if k < depth else W
+    for off in range(total):  # widest first; the last two layers are W
+        brick = U if off < depth else W
         for q in range(off, n - off - 1, 2):
             psi = apply_unitary(psi, brick, (q, q + 1), n)
     return psi

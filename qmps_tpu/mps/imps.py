@@ -266,7 +266,9 @@ class iMPS:
         _, r = tr.right_fixed_point(AL, AL)
         r = (r + cT(r)) / 2
         r = r / jnp.trace(r)
-        return jnp.einsum("st,sij,jk,tik->", jnp.asarray(op, A.dtype), AL, r, AL.conj())
+        # op[t, s] pairs the BRA index t with the conjugated tensor;
+        # the "st" order silently computed <op^T> (wrong for e.g. Y)
+        return jnp.einsum("ts,sij,jk,tik->", jnp.asarray(op, A.dtype), AL, r, AL.conj())
 
     def Es(self, ops: Sequence[jnp.ndarray]) -> jnp.ndarray:
         AL, _, _ = left_orthogonalise(self.blocked)
@@ -275,7 +277,7 @@ class iMPS:
         r = r / jnp.trace(r)
         return jnp.stack(
             [
-                jnp.einsum("st,sij,jk,tik->", jnp.asarray(op, AL.dtype), AL, r, AL.conj()).real
+                jnp.einsum("ts,sij,jk,tik->", jnp.asarray(op, AL.dtype), AL, r, AL.conj()).real
                 for op in ops
             ]
         )
@@ -288,7 +290,7 @@ class iMPS:
         r = r / jnp.trace(r)
         A2 = merge(AL, AL)
         h = jnp.asarray(op2, AL.dtype)
-        return jnp.einsum("st,sij,jk,tik->", h, A2, r, A2.conj())
+        return jnp.einsum("ts,sij,jk,tik->", h, A2, r, A2.conj())
 
     def energy(self, h: jnp.ndarray) -> jnp.ndarray:
         return self.E2(h).real
@@ -327,12 +329,12 @@ class iMPS:
         op1 = jnp.asarray(op1, AL.dtype)
         op2 = jnp.asarray(op2, AL.dtype)
         # right block with O2 inserted: T2 = sum_{s,t} op2[t,s]... as matrix
-        T2 = jnp.einsum("st,sij,jk,tlk->il", op2, AL, r, AL.conj())
-        e1 = jnp.einsum("st,sij,jk,tik->", op1, AL, r, AL.conj())
+        T2 = jnp.einsum("ts,sij,jk,tlk->il", op2, AL, r, AL.conj())
+        e1 = jnp.einsum("ts,sij,jk,tik->", op1, AL, r, AL.conj())
         e2 = jnp.trace(T2)
 
         def step(T, _):
-            c = jnp.einsum("st,sij,jk,tik->", op1, AL, T, AL.conj())
+            c = jnp.einsum("ts,sij,jk,tik->", op1, AL, T, AL.conj())
             return tr.right_matvec(AL, AL, T), c
 
         _, cs = jax.lax.scan(step, T2, None, length=max_dist)

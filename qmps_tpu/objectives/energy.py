@@ -37,7 +37,9 @@ def energy_exact_env(U: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     A = unitary_to_tensor(U)
     r = _right_env(A)
     A2 = merge(A, A)
-    return jnp.einsum("st,sij,jk,tik->", h.astype(A.dtype), A2, r, A2.conj()).real
+    # h[t, s]: BRA index t on the conjugated tensor ("st" computed <h^T>,
+    # wrong for Hamiltonians with asymmetric matrices, e.g. XY + YX terms)
+    return jnp.einsum("ts,sij,jk,tik->", h.astype(A.dtype), A2, r, A2.conj()).real
 
 
 def energy_circuit(U: jnp.ndarray, h: jnp.ndarray, V: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -61,7 +63,7 @@ def energy_two_site(U1: jnp.ndarray, U2: jnp.ndarray, h: jnp.ndarray) -> jnp.nda
         A12 = merge(Aa, Ab)
         r = _right_env(A12)
         return jnp.einsum(
-            "st,sij,jk,tik->", h.astype(Aa.dtype), A12, r, A12.conj()
+            "ts,sij,jk,tik->", h.astype(Aa.dtype), A12, r, A12.conj()
         ).real
 
     return (bond_energy(A1, A2) + bond_energy(A2, A1)) / 2

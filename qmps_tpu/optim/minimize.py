@@ -224,13 +224,19 @@ def minimize_scipy(
     tol: float = 1e-8,
     maxiter: int = 10000,
     with_grad: bool = False,
+    jit_objective: bool = True,
 ) -> OptResult:
     """Parity bridge to scipy.optimize.minimize (the reference's optimizer
-    settings, qmps/tools.py:212-219); jit-compiles the objective once."""
+    settings, qmps/tools.py:212-219); jit-compiles the objective once.
+
+    jit_objective=False for STATEFUL objectives (e.g. a fresh PRNG split
+    per shot-noise evaluation): jitting one would freeze the state at
+    trace time — every evaluation would reuse the same baked-in key and
+    the instance attribute would be left holding an escaped tracer."""
     import numpy as np
     from scipy.optimize import minimize as sp_minimize
 
-    jloss = jax.jit(loss)
+    jloss = jax.jit(loss) if jit_objective else loss
     f = lambda x: float(jloss(jnp.asarray(x)))
     jac = None
     if with_grad:

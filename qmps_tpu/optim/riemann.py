@@ -129,7 +129,7 @@ def ground_state_riemannian(
         r = (r + cT(r)) / 2
         r = r / jnp.trace(r)
         A2 = merge(A, A)
-        return jnp.einsum("st,sij,jk,tik->", h.astype(A.dtype), A2, r, A2.conj()).real
+        return jnp.einsum("ts,sij,jk,tik->", h.astype(A.dtype), A2, r, A2.conj()).real
 
     V, hist = stiefel_minimize(energy, V0, steps=steps, lr=lr)
     A = V.reshape(D, d, D).transpose(1, 0, 2)

@@ -178,3 +178,50 @@ class TestBatchedNoiseSweep:
         # strong noise stalls the optimization: the trajectory moves less,
         # so the pure-state rate lags below the clean curve
         assert r[2, -1] < r[0, -1]
+
+
+class TestStaircaseLightcone:
+    def test_central_rdm_matches_infinite_window(self, key):
+        """The pyramid must be oriented widest-layer-first so the central
+        support sees the full lightcone: its central 2-qubit RDM equals the
+        wide staggered-brickwork window's (parity-aligned center) to
+        machine precision.  Inverted (narrowest first) the difference was
+        0.93 Frobenius."""
+        from qmps_tpu.circuits.finite_depth import staircase_state
+        from qmps_tpu.circuits.ir import apply_unitary
+        from qmps_tpu.core.linalg import random_unitary
+
+        U = random_unitary(key, 4)
+        depth = 3
+        s = staircase_state(U, depth, 2)
+        ns = 2 * (depth - 1) + 2
+
+        nbig = 12
+        psi = jnp.zeros((2**nbig,), jnp.complex128).at[0].set(1.0)
+        for layer in range(depth):
+            for q in range(layer % 2, nbig - 1, 2):
+                psi = apply_unitary(psi, U, (q, q + 1), nbig)
+
+        def rdm(p, n, c):
+            t = np.asarray(p).reshape([2] * n)
+            t = np.moveaxis(t, [c, c + 1], [0, 1]).reshape(4, -1)
+            return t @ t.conj().T
+
+        np.testing.assert_allclose(
+            rdm(s, ns, 2), rdm(psi, nbig, 4), atol=1e-12
+        )
+
+
+def test_sampled_objective_fresh_noise_per_eval():
+    """Each evaluation of the sampled objective must draw FRESH shot noise
+    and keep self.key a concrete array (the scipy bridge once jitted the
+    stateful objective, freezing the trace-time key — identical values on
+    every call — and leaking a tracer into the instance)."""
+    from qmps_tpu.algorithms.ground_state import NoisySparseSampledEnergyOptimizer
+    from qmps_tpu.ham import tfim
+
+    opt = NoisySparseSampledEnergyOptimizer(tfim(1.0), n_samples=2000)
+    p = opt.initial_guess
+    vals = [float(opt.objective_function(p)) for _ in range(3)]
+    assert len(set(vals)) == 3
+    np.asarray(opt.key)  # concrete, not an escaped tracer

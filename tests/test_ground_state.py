@@ -111,3 +111,43 @@ class TestGroundState:
         res2 = find_ground_state(tfim(g), D=2, ansatz="suN", method="lbfgs", steps=150)
         assert res.energy < res2.energy + 1e-8
         assert res.energy - e_exact < 5e-4
+
+
+class TestExpectationConventions:
+    def test_antisymmetric_hamiltonian_matrix(self, key):
+        """<h> must match the circuit path for Hamiltonians whose 4x4
+        matrix is NOT symmetric (h = XY + YX: hermitian, h^T = -h).  The
+        fast contraction paths once computed <h^T> — an exact sign flip
+        here — which every symmetric-matrix model (TFIM/XY/Heisenberg)
+        silently masked."""
+        from qmps_tpu.core.linalg import random_unitary
+        from qmps_tpu.core.paulis import X, Y
+        from qmps_tpu.objectives.energy import energy_circuit, energy_exact_env
+
+        h = jnp.asarray(np.kron(X, Y) + np.kron(Y, X))
+        U = random_unitary(key, 4)
+        e_fast = float(energy_exact_env(U, h))
+        e_circ = float(energy_circuit(U, h))
+        assert abs(e_fast - e_circ) < 1e-10
+        assert abs(e_fast) > 1e-3  # the probe state must actually see h
+
+    def test_single_site_Y_expectation(self, key):
+        """iMPS.E agrees with a brute-force contraction for Y (asymmetric
+        matrix) — same transpose class as above."""
+        from qmps_tpu.core.paulis import Y
+        from qmps_tpu.mps import transfer as tr
+        from qmps_tpu.mps.imps import iMPS
+
+        psi = iMPS.random(key, 2, 3)
+        can = psi.left_canonicalise()
+        A = can[0]
+        _, r = tr.right_fixed_point(A, A)
+        r = (r + r.conj().T) / 2
+        r = r / jnp.trace(r)
+        A_, r_ = np.asarray(A), np.asarray(r)
+        brute = sum(
+            np.asarray(Y)[u, s] * np.trace(A_[s] @ r_ @ A_[u].conj().T)
+            for u in range(2)
+            for s in range(2)
+        )
+        np.testing.assert_allclose(complex(can.E(jnp.asarray(Y))), brute, atol=1e-10)

@@ -86,3 +86,21 @@ def test_quantum_poincare_sweep_sharded_matches_vmap(key):
     t_v = quantum_poincare_sweep(y0s, 0.4, 0.05, 3, inner_steps=10)
     t_s = quantum_poincare_sweep(y0s, 0.4, 0.05, 3, inner_steps=10, mesh=make_mesh())
     np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_v), atol=1e-10)
+
+
+def test_poincare_sections_seam_and_empty_shape():
+    """No spurious crossings from the 0/2-pi wrap seam, and the empty case
+    returns the documented (0, len(coords)) shape."""
+    from qmps_tpu.algorithms.scars import poincare_sections
+
+    ts = np.linspace(0, 20, 400)
+    seam_orbit = np.stack(
+        [0.5 + 0 * ts, np.mod(0.3 * np.sin(ts), 2 * np.pi), 1 + 0 * ts, 2 + 0 * ts],
+        axis=1,
+    )
+    winding = np.stack(
+        [0.5 + 0 * ts, np.mod(0.7 * ts, 2 * np.pi), 1 + 0 * ts, 2 + 0 * ts], axis=1
+    )
+    secs = poincare_sections(np.stack([seam_orbit, winding]))
+    assert secs[0].shape == (0, 2)  # oscillates around 0, never reaches pi
+    assert secs[1].shape == (2, 2)  # phase winds through pi twice in 14 rad
