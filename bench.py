@@ -80,25 +80,28 @@ def bench_overlap_throughput(B=65536, iters=50):
     f_xla = wrap(manifold_overlap_batched)
     ref = _readback_ok(f_xla(*args), n=64)
 
-    rates = []
+    rates, windows = [], []
     for f, n_iters in ((f_pal, iters * 4), (f_xla, iters)):
         out = f(*args)
         out.block_until_ready()
         s = _readback_ok(out, n=64)
         assert np.max(np.abs(s - ref)) < 1e-5, "kernels disagree"
         # best of 3 windows: transient backend stalls (measured up to 4x
-        # on dispatch-heavy rows) otherwise masquerade as regressions
-        best = np.inf
+        # on dispatch-heavy rows) otherwise masquerade as regressions.
+        # All three window times are published in the ladder so
+        # sustained-rate regressions stay visible alongside the peak.
+        wins = []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(n_iters):
                 out = f(*args)
             out.block_until_ready()
-            best = min(best, time.perf_counter() - t0)
+            wins.append(time.perf_counter() - t0)
         s = _readback_ok(out, n=64)
         assert np.max(np.abs(s - ref)) < 1e-5
-        rates.append(B * n_iters / best)
-    return rates[0], rates[1]
+        rates.append(B * n_iters / min(wins))
+        windows.append([round(w, 4) for w in wins])
+    return rates[0], rates[1], windows[0], windows[1]
 
 
 def bench_env_solves(B=65536, iters=60):
@@ -118,57 +121,50 @@ def bench_env_solves(B=65536, iters=60):
     out = solve(dre, dim)
     out.block_until_ready()
     _readback_ok(out)
-    best = np.inf
+    wins = []
     for _ in range(3):  # best of 3 (see bench_overlap_throughput)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = solve(dre, dim)
         out.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+        wins.append(time.perf_counter() - t0)
     _readback_ok(out)
-    return B * iters / best
+    return B * iters / min(wins), [round(w, 4) for w in wins]
 
 
-def bench_sweep(n_points=1024, steps=300):
-    """BASELINE config 4: the 1000+-point vmapped phase-diagram sweep."""
+def bench_sweep(n_points=1024, steps=300, restarts=4):
+    """BASELINE config 4: the 1000+-point vmapped phase-diagram sweep.
+
+    The headline workload runs ``restarts`` independent random starts per
+    point inside one batched program (best basin kept per point) — the
+    reference's retry-until-monotone loop done in parallel — so the
+    default random-start sweep itself meets the accuracy bar (target:
+    max error < 5e-3) with no post-hoc refinement pass.  Single-restart
+    numbers stay in the ladder under ``sweep_r1_*`` for round-over-round
+    continuity with BENCH_r01/r02."""
     from qmps_tpu.ham import tfim_gs_energy
     from qmps_tpu.parallel import sweep_ground_states
 
     gs = jnp.linspace(0.1, 2.0, n_points)
-    es, _ = sweep_ground_states(gs, D=2, steps=steps)  # compile
-    es.block_until_ready()
-    _readback_ok(es)
     exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
-
-    # continuity metrics: the plain one-pass sweep, same workload as every
-    # previous round
-    t0 = time.perf_counter()
-    es, _ = sweep_ground_states(gs + 1e-3, D=2, steps=steps)
-    es.block_until_ready()
-    dt = time.perf_counter() - t0
-    es_h = np.asarray(es, np.float64)
-    assert np.all(np.isfinite(es_h))
-    err = es_h - exact
-
-    # refined metrics: + one adiabatic-continuation pass (2 extra program
-    # calls re-optimizing every point from its neighbors' params), which
-    # kills the bad-basin outliers — reported separately so the continuity
-    # numbers keep meaning the same workload round-over-round
-    t0 = time.perf_counter()
-    es_r, _ = sweep_ground_states(gs + 1e-3, D=2, steps=steps, refine_passes=1)
-    es_r.block_until_ready()
-    dt_r = time.perf_counter() - t0
-    err_r = np.asarray(es_r, np.float64) - exact
-    assert np.all(np.isfinite(err_r))
-    return {
-        "sweep_1024_points_seconds": round(dt, 3),
-        "sweep_opts_per_sec": round(n_points / dt, 1),
-        "sweep_median_error": float(np.median(err)),
-        "sweep_max_error": float(np.max(err)),
-        "sweep_refined_seconds": round(dt_r, 3),
-        "sweep_refined_median_error": float(np.median(err_r)),
-        "sweep_refined_max_error": float(np.max(err_r)),
-    }
+    out = {}
+    for tag, r in (("sweep", restarts), ("sweep_r1", 1)):
+        es, _ = sweep_ground_states(gs, D=2, steps=steps, restarts=r)  # compile
+        es.block_until_ready()
+        _readback_ok(es)
+        t0 = time.perf_counter()
+        es, _ = sweep_ground_states(gs + 1e-3, D=2, steps=steps, restarts=r)
+        es.block_until_ready()
+        dt = time.perf_counter() - t0
+        err = np.asarray(es, np.float64) - exact
+        assert np.all(np.isfinite(err))
+        out.update({
+            f"{tag}_1024_points_seconds": round(dt, 3),
+            f"{tag}_opts_per_sec": round(n_points / dt, 1),
+            f"{tag}_median_error": float(np.median(err)),
+            f"{tag}_max_error": float(np.max(err)),
+        })
+    return out
 
 
 def bench_gs_large_D(D, steps=200):
@@ -191,7 +187,9 @@ def bench_gs_large_D(D, steps=200):
     h2 = np.asarray(hist2)
     dt = time.perf_counter() - t0
     assert np.all(np.isfinite(h2))
-    err = float(min(np.min(h2), e)) - float(tfim_gs_energy(1.0))
+    # e / e2 are the RETURNED states' energies (hist[-1] is evaluated at
+    # the returned isometry, optim/riemann.py) — never best-of-history
+    err = float(min(e, e2)) - float(tfim_gs_energy(1.0))
     return {
         f"gs_steps_per_sec_D{D}": round(steps / dt, 2),
         f"gs_energy_error_D{D}": float(err),
@@ -200,14 +198,20 @@ def bench_gs_large_D(D, steps=200):
 
 def main():
     ladder = {}
-    evals_per_sec, evals_per_sec_xla = bench_overlap_throughput()
+    evals_per_sec, evals_per_sec_xla, win_pal, win_xla = bench_overlap_throughput()
     ladder["overlap_evals_per_sec_xla"] = round(evals_per_sec_xla, 1)
-    ladder["env_solves_per_sec"] = round(bench_env_solves(), 1)
+    ladder["overlap_windows_sec"] = win_pal
+    ladder["overlap_windows_sec_xla"] = win_xla
+    env_rate, env_wins = bench_env_solves()
+    ladder["env_solves_per_sec"] = round(env_rate, 1)
+    ladder["env_windows_sec"] = env_wins
     ladder.update(bench_sweep())
-    # D=2 optimizer throughput from the plain (continuity) sweep:
-    # opts/sec x 300 adam steps per point
-    ladder["gs_steps_per_sec_D2"] = round(ladder["sweep_opts_per_sec"] * 300, 1)
-    ladder["gs_energy_error_D2"] = ladder["sweep_median_error"]
+    # like-for-like single-chain D=2 row (same measurement as D=8/32/64);
+    # the batched-sweep throughput stays under its own distinct key
+    ladder.update(bench_gs_large_D(2, steps=300))
+    ladder["gs_batched_chain_steps_per_sec_D2"] = round(
+        ladder["sweep_r1_opts_per_sec"] * 300, 1
+    )
     ladder.update(bench_gs_large_D(8, steps=300))
     ladder.update(bench_gs_large_D(32, steps=200))
     # D=64 runs through the matvec Krylov path (restarted Arnoldi forward +

@@ -219,7 +219,7 @@ class MPSTimeEvolve:
 
         init_tensor = _cached_jit(("u2t", gate), build_init)
         record = _cached_jit(
-            ("record", gate, tuple(np.asarray(o).tobytes() for o in ops)),
+            ("record", gate, tuple(_w_key(o) for o in ops)),
             build_record,
         )
 

@@ -31,10 +31,13 @@ class RepresentMPS:
         elif self.strategy == "variational":
             self.v, self.loss = get_env_variational(self.U, **self.kwargs)
         elif self.strategy == "power":
+            from ..mps.imps import _cholesky_psd
+
             k = self.kwargs.get("k", 20)
             r = power_method_env(self.U, k)
-            eps = 1e-14
-            C = jnp.linalg.cholesky(r + eps * jnp.eye(r.shape[0], dtype=r.dtype))
+            # dtype-aware jitter (a fixed 1e-14 underflows in f32 and the
+            # cholesky of a rank-deficient r silently NaNs — imps.py)
+            C = _cholesky_psd(r)
             self.v = environment_to_unitary(C.reshape(-1))
         else:
             raise ValueError(f"unknown strategy {self.strategy}")

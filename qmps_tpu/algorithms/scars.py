@@ -158,9 +158,11 @@ def poincare_sections(
         # pi, produced phantom section points)
         d = np.mod(x - plane_value + np.pi, 2 * np.pi) - np.pi
         sign = np.sign(d)
-        # genuine upward crossing: sign change AND a step small enough to
-        # not be the seam jump itself
-        small = np.abs(d[1:] - d[:-1]) < np.pi / 2
+        # genuine upward crossing: sign change AND a step below the
+        # Nyquist bound pi — the antipode seam jump is ~2 pi, while any
+        # resolvable real crossing advances < pi per sample (faster
+        # winding than pi/step is aliased and undetectable regardless)
+        small = np.abs(d[1:] - d[:-1]) < np.pi
         idx = np.where((sign[:-1] < 0) & (sign[1:] >= 0) & small)[0]
         pts = []
         for i in idx:

@@ -97,7 +97,8 @@ def itebd_gs_energy(
             h2 = h2.real
         h = np.asarray(h2, dtype=float)
     else:
-        assert g is not None, "pass g (TFIM field) or h2 (explicit 4x4)"
+        if g is None:
+            raise ValueError("pass g (TFIM field) or h2 (explicit 4x4)")
         h = -np.kron(_Z, _Z) - g * (np.kron(_X, _I) + np.kron(_I, _X)) / 2.0
 
     rng = np.random.default_rng(0)

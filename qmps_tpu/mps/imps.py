@@ -63,13 +63,20 @@ def _qr_pos(mat: jnp.ndarray):
 
 
 
-def _pinv_tri(M: jnp.ndarray, rcond: float = 1e-6) -> jnp.ndarray:
+def _pinv_tri(M: jnp.ndarray, rcond: float | None = None) -> jnp.ndarray:
     """SVD pseudo-inverse with relative cutoff for gauge matrices: plain
     inv() of a rank-deficient center/boundary matrix (product states,
     D -> 2D warm-start embeddings, post-truncation states) returns
     inf/NaN; the cutoff drops the null directions instead (the same guard
-    tdvp._pinv documents as standard)."""
+    tdvp._pinv documents as standard).
+
+    The default cutoff is dtype-aware, eps**0.75: ~7e-6 in float32 (the
+    regime the original fixed 1e-6 was tuned for) but ~1e-12 in float64,
+    so high-precision canonicalization keeps genuine small gauge/Schmidt
+    directions instead of silently truncating everything below 1e-6."""
     u, s, vh = jnp.linalg.svd(M)
+    if rcond is None:
+        rcond = float(jnp.finfo(M.real.dtype).eps) ** 0.75
     cut = rcond * s[0]
     sinv = jnp.where(s > cut, 1.0 / jnp.maximum(s, cut), 0.0)
     return cT(vh) @ (sinv[:, None] * cT(u))

@@ -46,7 +46,10 @@ def stiefel_minimize(
 
     Heavy-ball momentum in the tangent space with polar retraction; the
     momentum is re-projected after each retraction (vector transport by
-    projection).  Returns (V, history).
+    projection).  Returns (V, history); history has length steps+1, with
+    hist[k] = loss at iterate k and hist[-1] the loss of the RETURNED V
+    (so reported energies are achieved by the returned state, never a
+    best-of-history no iterate realizes).
     """
 
     vg = jax.value_and_grad(lambda V: loss(V), holomorphic=False)
@@ -68,6 +71,7 @@ def stiefel_minimize(
         (V, _), hist = jax.lax.scan(
             step, (V0, jnp.zeros_like(V0)), None, length=steps
         )
+        hist = jnp.concatenate([hist, loss(V)[None]])
         return V, hist
 
     return run(V0)
@@ -95,7 +99,8 @@ def ground_state_riemannian(
     in VMEM; D=64 runs through the matvec path (measured: 400 steps, err
     1.4e-4 vs the exact integral, no crash) — and 8 on CPU, where matvec is
     ~13x faster at D=16 (measured: 13.5s vs 172s for 300 steps).
-    Returns (A, energy, history).
+    Returns (A, energy, history); ``energy`` is evaluated at the returned
+    A (= hist[-1]), not the best value seen during optimization.
     """
     if dense_env_max_D is None:
         dense_env_max_D = 32 if jax.default_backend() == "tpu" else 8

@@ -224,10 +224,14 @@ class LargeDConfig:
         h_np = np.asarray(hist)
         assert np.all(np.isfinite(h_np))
         e_exact = float(tfim_gs_energy(self.g))
+        # e is the RETURNED state's energy (hist[-1] is evaluated at the
+        # returned isometry) — never report best-of-history the returned
+        # parameters don't achieve
         return {
-            "energy": float(min(h_np.min(), e)),
+            "energy": float(e),
             "exact": e_exact,
-            "error": float(min(h_np.min(), e)) - e_exact,
+            "error": float(e) - e_exact,
+            "best_seen": float(h_np.min()),
             "seconds": dt,
             "steps_per_sec": self.steps / dt,
         }
@@ -242,3 +246,35 @@ CONFIG_LADDER = (
     LargeDConfig(D=32),
     LargeDConfig(D=64),
 )
+
+
+def run_ladder(configs: Sequence = CONFIG_LADDER, profile_dir: Optional[str] = None):
+    """Run the workload ladder; returns {config_name: metrics}.
+
+    With ``profile_dir`` set (or QMPS_PROFILE_DIR in the environment),
+    each config runs under a jax.profiler trace written to
+    ``<profile_dir>/<ConfigName_i>`` — view with xprof/tensorboard.  This
+    is the replacement for the reference's ad-hoc time.time() benchmarks
+    (SURVEY.md section 5): per-op device timelines on demand around the
+    exact production workloads.
+    """
+    import os
+
+    from .utils.profiling import trace
+
+    profile_dir = profile_dir or os.environ.get("QMPS_PROFILE_DIR")
+    results = {}
+    for i, cfg in enumerate(configs):
+        name = f"{type(cfg).__name__}_{i}"
+        if profile_dir:
+            with trace(os.path.join(profile_dir, name)):
+                results[name] = cfg.run()
+        else:
+            results[name] = cfg.run()
+    return results
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(run_ladder(), indent=1, default=float))

@@ -35,3 +35,19 @@ def test_riemannian_ground_state_d2():
     # left-canonical by construction
     g = sum(np.asarray(A[s]).conj().T @ np.asarray(A[s]) for s in range(2))
     np.testing.assert_allclose(g, np.eye(2), atol=1e-10)
+
+
+def test_reported_energy_is_returned_states_energy():
+    """The reported energy must be achieved by the RETURNED tensor — not a
+    best-of-history value no returned state realizes (round-2 verdict:
+    the hist[-1] off-by-one class, finished here)."""
+    from qmps_tpu.mps.imps import iMPS
+
+    h = tfim(1.0).to_matrix()
+    A, e, hist = ground_state_riemannian(h, 2, steps=60, lr=0.08)
+    # hist carries steps+1 entries; the last is the returned state's energy
+    assert len(np.asarray(hist)) == 61
+    assert float(hist[-1]) == e
+    e_of_A = float(iMPS([A]).energy(h))
+    tol = 200 * np.finfo(np.asarray(hist).dtype).eps
+    assert abs(e_of_A - e) < tol
