@@ -132,6 +132,69 @@ def bench_env_solves(B=65536, iters=60):
     return B * iters / min(wins), [round(w, 4) for w in wins]
 
 
+def bench_tdvp_objective(B=65536, iters=20):
+    """Fully fused batched TDVP objective (build + eigensolve in one
+    kernel, kernels/tdvp_fused.py): forward and forward+gradient rates.
+    Validated against numpy eig of the element-0 transfer matrix after
+    every timed loop (axon rule 7)."""
+    from qmps_tpu.kernels.tdvp_fused import tdvp_objective_fused
+
+    rng = np.random.default_rng(3)
+
+    def ht(b):
+        X = rng.standard_normal((b, 2, 2, 2)) + 1j * rng.standard_normal((b, 2, 2, 2))
+        X = (X / np.linalg.norm(X.reshape(b, -1), axis=1)[:, None, None, None] * 2)
+        X = X.astype(np.complex64)
+        return X.real.copy(), X.imag.copy()
+
+    Are, Aim = ht(B)
+    Bre, Bim = ht(B)
+    Wh = np.eye(4, dtype=np.complex64)
+    args = jax.device_put([Are, Aim, Bre, Bim, Wh.real.copy(), Wh.imag.copy()])
+    jax.block_until_ready(args)
+
+    AA = np.einsum("sik,tkj->stij", Are[0] + 1j * Aim[0], Are[0] + 1j * Aim[0])
+    BB = np.einsum("sik,tkj->stij", Bre[0] + 1j * Bim[0], Bre[0] + 1j * Bim[0])
+    E0 = np.einsum("sik,sjl->ijkl", AA.reshape(4, 2, 2), BB.reshape(4, 2, 2).conj())
+    truth = -abs(max(np.linalg.eigvals(E0.reshape(4, 4).astype(np.complex128)), key=abs))
+
+    c = jax.lax.complex
+
+    @jax.jit
+    def fwd(ar, ai, br, bi, wr, wi):
+        return tdvp_objective_fused(c(ar, ai), c(br, bi), c(wr, wi), 48, False)
+
+    @jax.jit
+    def fwdgrad(ar, ai, br, bi, wr, wi):
+        def loss(br_, bi_):
+            return jnp.sum(tdvp_objective_fused(c(ar, ai), c(br_, bi_), c(wr, wi), 48, False))
+
+        gb, _ = jax.grad(loss, argnums=(0, 1))(br, bi)
+        return fwd(ar, ai, br, bi, wr, wi), gb
+
+    out = {}
+    for name, f, check_grad in (("tdvp_obj_fused", fwd, False),
+                                ("tdvp_obj_grad_fused", fwdgrad, True)):
+        o = f(*args)
+        jax.block_until_ready(o)
+        val = o[0] if check_grad else o
+        assert abs(float(np.asarray(val[0])) - truth) < 2e-5, (name, truth)
+        wins = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                o = f(*args)
+            jax.block_until_ready(o)
+            wins.append(time.perf_counter() - t0)
+        val = o[0] if check_grad else o
+        assert abs(float(np.asarray(val[0])) - truth) < 2e-5, (name, "post", truth)
+        if check_grad:
+            assert np.all(np.isfinite(np.asarray(o[1][:2])))
+        out[f"{name}_evals_per_sec"] = round(B * iters / min(wins), 1)
+        out[f"{name}_windows_sec"] = [round(w, 4) for w in wins]
+    return out
+
+
 def bench_sweep(n_points=1024, steps=300, restarts=4):
     """BASELINE config 4: the 1000+-point vmapped phase-diagram sweep.
 
@@ -205,6 +268,7 @@ def main():
     env_rate, env_wins = bench_env_solves()
     ladder["env_solves_per_sec"] = round(env_rate, 1)
     ladder["env_windows_sec"] = env_wins
+    ladder.update(bench_tdvp_objective())
     ladder.update(bench_sweep())
     # like-for-like single-chain D=2 row (same measurement as D=8/32/64);
     # the batched-sweep throughput stays under its own distinct key

@@ -212,13 +212,36 @@ class SparseFullEnergyOptimizer(_OptimizerBase):
 
 class NoisyNonSparseFullEnergyOptimizer(_OptimizerBase):
     """Full 15-param SU(4) state under per-moment depolarizing noise, exact
-    environment (qmps/ground_state.py:337-418) — density-matrix semantics,
-    gradient-optimizable in both params and noise strength."""
+    environment (qmps/ground_state.py:337-418) — gradient-optimizable in
+    both params and noise strength.
 
-    def __init__(self, H, depolarizing_prob: float, initial_guess=None, key=None):
+    ``simulation`` selects the channel semantics, mirroring the
+    reference's two noisy simulator modes: "density_matrix" (exact 4^n
+    evolution, objectives/noise.py) or "trajectories" (Monte-Carlo Kraus
+    unraveling at 2^n per trajectory, vmapped — objectives/trajectories.py;
+    the route to wider noisy windows).  Trajectory mode uses a FROZEN key
+    per optimizer instance (common random numbers), so the stochastic
+    objective is a smooth deterministic function the optimizer can descend.
+    """
+
+    def __init__(
+        self,
+        H,
+        depolarizing_prob: float,
+        initial_guess=None,
+        key=None,
+        simulation: str = "density_matrix",
+        n_traj: int = 256,
+        traj_key=None,
+    ):
         super().__init__()
         self.h = as_host_matrix(H)
         self.p_noise = depolarizing_prob
+        if simulation not in ("density_matrix", "trajectories"):
+            raise ValueError(f"unknown simulation mode {simulation!r}")
+        self.simulation = simulation
+        self.n_traj = n_traj
+        self.traj_key = jax.random.PRNGKey(42) if traj_key is None else traj_key
         if initial_guess is None:
             key = jax.random.PRNGKey(0) if key is None else key
             initial_guess = jax.random.normal(key, (15,)) * 0.5
@@ -231,6 +254,12 @@ class NoisyNonSparseFullEnergyOptimizer(_OptimizerBase):
 
         ops, n = shallow_full_state_ops(params)
         V = get_env_exact(shallow_full_state(params))
+        if self.simulation == "trajectories":
+            from ..objectives.trajectories import trajectory_energy
+
+            return trajectory_energy(
+                ops, n, V, self.h, self.p_noise, self.traj_key, self.n_traj
+            )
         return noisy_energy(ops, n, V, self.h, self.p_noise)
 
 

@@ -90,18 +90,11 @@ def _power_kernel(N, iters, mre_ref, mim_ref, lre_ref, lim_ref, vre_ref, vim_ref
         vim_ref[i] = vim[i]
 
 
-def _squaring_kernel(N, iters, mre_ref, mim_ref, lre_ref, lim_ref, vre_ref, vim_ref):
-    """Repeated squaring in VMEM: E -> E^(2^iters) (Frobenius-normalized
-    each squaring), eigenvector by applying the converged power to two fixed
-    chirp vectors (pick the larger per lane — elementwise, no gathers),
-    eigenvalue from the Rayleigh quotient with the ORIGINAL matrix.
-
-    Converges like the dense squaring path (error ~ |lam2/lam1|^(2^k):
-    machine precision for any nontrivial gap) — unlike plain power
-    iteration, which stalls on near-degenerate spectra — while keeping the
-    whole batch resident in VMEM for the entire solve."""
-    m_re = [mre_ref[k] for k in range(N * N)]
-    m_im = [mim_ref[k] for k in range(N * N)]
+def _solve_planes(N, iters, m_re, m_im):
+    """Squaring eigensolve on component-plane lists (the _squaring_kernel
+    body, shared with the fused TDVP-objective kernel): given N*N re/im
+    planes of a batch of (N, N) matrices, return (lre, lim, vre, vim)
+    plane values — dominant eigenvalue + unit right eigenvector."""
 
     def body(_, carry):
         e_re = list(carry[: N * N])
@@ -167,8 +160,26 @@ def _squaring_kernel(N, iters, mre_ref, mim_ref, lre_ref, lim_ref, vre_ref, vim_
             aim = aim + mr * vim[j] + mi * vre[j]
         wre.append(are)
         wim.append(aim)
-    lre_ref[:] = sum(vre[i] * wre[i] + vim[i] * wim[i] for i in range(N))
-    lim_ref[:] = sum(vre[i] * wim[i] - vim[i] * wre[i] for i in range(N))
+    lre = sum(vre[i] * wre[i] + vim[i] * wim[i] for i in range(N))
+    lim = sum(vre[i] * wim[i] - vim[i] * wre[i] for i in range(N))
+    return lre, lim, vre, vim
+
+
+def _squaring_kernel(N, iters, mre_ref, mim_ref, lre_ref, lim_ref, vre_ref, vim_ref):
+    """Repeated squaring in VMEM: E -> E^(2^iters) (Frobenius-normalized
+    each squaring), eigenvector by applying the converged power to two fixed
+    chirp vectors (pick the larger per lane — elementwise, no gathers),
+    eigenvalue from the Rayleigh quotient with the ORIGINAL matrix.
+
+    Converges like the dense squaring path (error ~ |lam2/lam1|^(2^k):
+    machine precision for any nontrivial gap) — unlike plain power
+    iteration, which stalls on near-degenerate spectra — while keeping the
+    whole batch resident in VMEM for the entire solve."""
+    m_re = [mre_ref[k] for k in range(N * N)]
+    m_im = [mim_ref[k] for k in range(N * N)]
+    lre, lim, vre, vim = _solve_planes(N, iters, m_re, m_im)
+    lre_ref[:] = lre
+    lim_ref[:] = lim
     for i in range(N):
         vre_ref[i] = vre[i]
         vim_ref[i] = vim[i]

@@ -66,14 +66,15 @@ def tdvp_objective_pallas(
     is the exact rank-1 implicit adjoint — so `jax.grad` of a sum of these
     objectives is one kernel launch forward, one backward, per sweep step.
     Matches `vmap(tdvp_objective)` to solver precision (see tests).
+
+    At D = 2 with a shared W the whole objective dispatches to the FULLY
+    fused kernel (kernels/tdvp_fused.py): the E build itself runs in VMEM
+    in the same launch as the eigensolve — the XLA vmapped build was
+    99.6% of this path's forward at batch 65536.
     """
     import jax
 
     from ..kernels.pallas_power import dominant_eigval_batched
-
-    def build_E(A, B, Wb):
-        WAA, BB = mixed_transfer_with_gate(A, B, Wb)
-        return tr.transfer_dense(WAA, BB)
 
     As = jnp.asarray(As)
     W = jnp.asarray(W)
@@ -85,6 +86,15 @@ def tdvp_objective_pallas(
         raise ValueError(
             f"W must be a 2-site (4, 4) gate (optionally batched), got {W.shape}"
         )
+    if As.shape[-1] == 2 and W.ndim == 2:
+        from ..kernels.tdvp_fused import tdvp_objective_fused
+
+        return tdvp_objective_fused(As, Bs, W, iters, interpret)
+
+    def build_E(A, B, Wb):
+        WAA, BB = mixed_transfer_with_gate(A, B, Wb)
+        return tr.transfer_dense(WAA, BB)
+
     if W.ndim == 3:
         Es = jax.vmap(build_E)(As, Bs, W)
     else:
