@@ -37,13 +37,26 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _build_E_planes(are, aim, bre, bim, wre_ref, wim_ref):
+def _wget_smem(wre_ref, wim_ref):
+    """Gate accessor for a shared W in SMEM (scalar table)."""
+    return lambda s, t: (wre_ref[s, t], wim_ref[s, t])
+
+
+def _wget_vmem(wre_ref, wim_ref):
+    """Gate accessor for a per-trajectory W in VMEM (16 component planes,
+    comp index s*4 + t) — same arithmetic, plane ops instead of
+    scalar-broadcast FMAs."""
+    return lambda s, t: (wre_ref[s * 4 + t], wim_ref[s * 4 + t])
+
+
+def _build_E_planes(are, aim, bre, bim, wget):
     """In-VMEM transfer-matrix build from A/B component planes.
 
     a/b comps indexed s*4 + i*2 + j for tensor X[s, i, j] (s physical,
-    i row, j col bond).  W is an SMEM (4, 4) scalar table.  Returns
-    (e_re, e_im, waa, bb) where e comps are row (i j), col (k l) of the
-    16-component E, and waa/bb are kept for the Rayleigh/backward side.
+    i row, j col bond).  ``wget(s, t)`` yields the gate entry as either
+    SMEM scalars (shared W) or VMEM planes (batched W).  Returns
+    (e_re, e_im, aa, waa, bb) where e comps are row (i j), col (k l) of
+    the 16-component E; aa/waa/bb feed the backward side.
     """
     # AA[(s1 s2), i, j] = sum_k A[s1, i, k] A[s2, k, j]
     aa = {}
@@ -61,14 +74,14 @@ def _build_E_planes(are, aim, bre, bim, wre_ref, wim_ref):
                         si = pi if k == 0 else si + pi
                     aa[(s1 * 2 + s2, i, j)] = (sr, si)
 
-    # WAA[s, i, j] = sum_t W[s, t] AA[t, i, j] — SMEM scalar sweep
+    # WAA[s, i, j] = sum_t W[s, t] AA[t, i, j]
     waa = {}
     for s in range(4):
         for i in range(2):
             for j in range(2):
                 sr = None
                 for t in range(4):
-                    wr, wi = wre_ref[s, t], wim_ref[s, t]
+                    wr, wi = wget(s, t)
                     ar_, ai_ = aa[(t, i, j)]
                     pr = wr * ar_ - wi * ai_
                     pi = wr * ai_ + wi * ar_
@@ -113,7 +126,7 @@ def _build_E_planes(are, aim, bre, bim, wre_ref, wim_ref):
 
 
 def _tdvp_fused_kernel(
-    iters, with_left,
+    iters, with_left, w_batched,
     are_ref, aim_ref, bre_ref, bim_ref, wre_ref, wim_ref,
     *out_refs,
 ):
@@ -121,8 +134,9 @@ def _tdvp_fused_kernel(
     aim = [aim_ref[k] for k in range(8)]
     bre = [bre_ref[k] for k in range(8)]
     bim = [bim_ref[k] for k in range(8)]
+    wget = (_wget_vmem if w_batched else _wget_smem)(wre_ref, wim_ref)
 
-    e_re, e_im, _, _, _ = _build_E_planes(are, aim, bre, bim, wre_ref, wim_ref)
+    e_re, e_im, _, _, _ = _build_E_planes(are, aim, bre, bim, wget)
 
     lre, lim, vre, vim = _solve_planes(4, iters, e_re, e_im)
     lre_ref, lim_ref, vre_ref, vim_ref = out_refs[:4]
@@ -158,17 +172,21 @@ def _comp_planes(x, ncomp, B, pad, R):
 
 
 def _fused_forward(As, Bs, W, iters, with_left, tile_rows=8, interpret=False):
-    """Launch the fused kernel.  As, Bs (B, 2, 2, 2) complex, W (4, 4)
-    complex shared.  Returns (lam, v[, w]) complex arrays."""
+    """Launch the fused kernel.  As, Bs (B, 2, 2, 2) complex; W (4, 4)
+    shared or (B, 4, 4) per-trajectory.  Returns (lam, v[, w])."""
     B = As.shape[0]
     pad = (-B) % (tile_rows * LANE)
     Bp = B + pad
     R = Bp // LANE
+    w_batched = W.ndim == 3
 
     are, aim = _comp_planes(As, 8, B, pad, R)
     bre, bim = _comp_planes(Bs, 8, B, pad, R)
-    wre = jnp.real(W).astype(jnp.float32)
-    wim = jnp.imag(W).astype(jnp.float32)
+    if w_batched:
+        wre, wim = _comp_planes(W, 16, B, pad, R)
+    else:
+        wre = jnp.real(W).astype(jnp.float32)
+        wim = jnp.imag(W).astype(jnp.float32)
 
     grid = (R // tile_rows,)
 
@@ -177,7 +195,7 @@ def _fused_forward(As, Bs, W, iters, with_left, tile_rows=8, interpret=False):
             (n, tile_rows, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         )
 
-    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    wspec = vspec(16) if w_batched else pl.BlockSpec(memory_space=pltpu.SMEM)
     lspec = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     out_specs = [lspec, lspec, vspec(4), vspec(4)]
@@ -194,11 +212,11 @@ def _fused_forward(As, Bs, W, iters, with_left, tile_rows=8, interpret=False):
             jax.ShapeDtypeStruct((4, R, LANE), jnp.float32),
         ]
 
-    kernel = functools.partial(_tdvp_fused_kernel, iters, with_left)
+    kernel = functools.partial(_tdvp_fused_kernel, iters, with_left, w_batched)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[vspec(8), vspec(8), vspec(8), vspec(8), sspec, sspec],
+        in_specs=[vspec(8), vspec(8), vspec(8), vspec(8), wspec, wspec],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
@@ -220,11 +238,14 @@ def tdvp_objective_fused(
     iters: int = 48,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Batched fast TDVP objective, fully fused: (B, 2, 2, 2) x 2 + shared
-    (4, 4) W -> (B,) of -|x|.  Forward AND backward are one kernel launch
-    each (the backward launch also computes the left eigenvectors; the
-    transposed-build contractions are closed-form einsums on the rank-1
-    adjoint).  Matches tdvp_objective_pallas to solver precision.
+    """Batched fast TDVP objective, fully fused: (B, 2, 2, 2) x 2 + W ->
+    (B,) of -|x|.  W is either a shared (4, 4) gate (SMEM scalar table)
+    or per-trajectory (B, 4, 4) (VMEM planes — the MC-trajectory noise
+    and per-time-slice quench sweeps).  Forward AND backward are one
+    kernel launch each (the backward launch also computes the left
+    eigenvectors; the transposed-build contractions are closed-form
+    einsums on the rank-1 adjoint).  Matches tdvp_objective_pallas to
+    solver precision.
     """
     lam, _ = _fused_forward(As, Bs, W, iters, with_left=False, interpret=interpret)
     return -jnp.abs(lam)
@@ -233,12 +254,16 @@ def tdvp_objective_fused(
 def _rebuild(As, Bs, W):
     """XLA-side AA / WAA / BB (cheap closed forms, needed by the adjoint)."""
     AA = jnp.einsum("bsik,btkj->bstij", As, As).reshape(-1, 4, 2, 2)
-    WAA = jnp.einsum("st,btij->bsij", W, AA)
+    if W.ndim == 3:
+        WAA = jnp.einsum("bst,btij->bsij", W, AA)
+    else:
+        WAA = jnp.einsum("st,btij->bsij", W, AA)
     BB = jnp.einsum("bsik,btkj->bstij", Bs, Bs).reshape(-1, 4, 2, 2)
     return AA, WAA, BB
 
 
 def _tdvp_bwd_kernel(
+    w_batched,
     are_ref, aim_ref, bre_ref, bim_ref,
     vre_ref, vim_ref, ure_ref, uim_ref,
     lre_ref, lim_ref, ct_ref,
@@ -256,8 +281,9 @@ def _tdvp_bwd_kernel(
     u = [(ure_ref[i], uim_ref[i]) for i in range(4)]
     lre, lim = lre_ref[...], lim_ref[...]
     ct = ct_ref[...]
+    wget = (_wget_vmem if w_batched else _wget_smem)(wre_ref, wim_ref)
 
-    _, _, aa, waa, bb = _build_E_planes(are, aim, bre, bim, wre_ref, wim_ref)
+    _, _, aa, waa, bb = _build_E_planes(are, aim, bre, bim, wget)
 
     # coef = -ct (conj(lam)/|lam|) / (u^dag v)
     dre = sum(u[i][0] * v[i][0] + u[i][1] * v[i][1] for i in range(4))
@@ -306,14 +332,14 @@ def _tdvp_bwd_kernel(
                         si = pi if si is None else si + pi
                 C[(s, j, l)] = (sr, -si)
 
-    # Q[(s1 s2),i,k] = sum_s P[s,i,k] W[s, s1*2+s2]  (SMEM scalar sweep)
+    # Q[(s1 s2),i,k] = sum_s P[s,i,k] W[s, s1*2+s2]
     Q = {}
     for t in range(4):
         for i in range(2):
             for k in range(2):
                 sr = si = None
                 for s in range(4):
-                    wr_, wi_ = wre_ref[s, t], wim_ref[s, t]
+                    wr_, wi_ = wget(s, t)
                     pr_, pi_ = P[(s, i, k)]
                     xr = pr_ * wr_ - pi_ * wi_
                     xi = pr_ * wi_ + pi_ * wr_
@@ -362,11 +388,13 @@ def _tdvp_bwd_kernel(
 
 
 def _fused_backward_pallas(As, Bs, W, lam, v, w, ct, tile_rows=8, interpret=False):
-    """Launch the backward kernel; returns (Abar, Bbar, Wbar)."""
+    """Launch the backward kernel; returns (Abar, Bbar, Wbar).  Wbar is
+    (4, 4) (batch-summed) for shared W, (B, 4, 4) for per-trajectory W."""
     B = As.shape[0]
     pad = (-B) % (tile_rows * LANE)
     Bp = B + pad
     R = Bp // LANE
+    w_batched = W.ndim == 3
 
     are, aim = _comp_planes(As, 8, B, pad, R)
     bre, bim = _comp_planes(Bs, 8, B, pad, R)
@@ -374,8 +402,11 @@ def _fused_backward_pallas(As, Bs, W, lam, v, w, ct, tile_rows=8, interpret=Fals
     ure, uim = _comp_planes(w, 4, B, pad, R)
     lre, lim = _comp_planes(lam, 1, B, pad, R)
     ctp, _ = _comp_planes(ct.astype(jnp.complex64), 1, B, pad, R)
-    wre = jnp.real(W).astype(jnp.float32)
-    wim = jnp.imag(W).astype(jnp.float32)
+    if w_batched:
+        wre, wim = _comp_planes(W, 16, B, pad, R)
+    else:
+        wre = jnp.real(W).astype(jnp.float32)
+        wim = jnp.imag(W).astype(jnp.float32)
 
     grid = (R // tile_rows,)
 
@@ -385,12 +416,12 @@ def _fused_backward_pallas(As, Bs, W, lam, v, w, ct, tile_rows=8, interpret=Fals
         )
 
     lspec = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    wspec = vspec(16) if w_batched else pl.BlockSpec(memory_space=pltpu.SMEM)
 
     outs = pl.pallas_call(
-        _tdvp_bwd_kernel,
+        functools.partial(_tdvp_bwd_kernel, w_batched),
         grid=grid,
-        in_specs=[vspec(8)] * 4 + [vspec(4)] * 4 + [lspec] * 3 + [sspec] * 2,
+        in_specs=[vspec(8)] * 4 + [vspec(4)] * 4 + [lspec] * 3 + [wspec] * 2,
         out_specs=[vspec(8)] * 4 + [vspec(16)] * 2,
         out_shape=[jax.ShapeDtypeStruct((8, R, LANE), jnp.float32)] * 4
         + [jax.ShapeDtypeStruct((16, R, LANE), jnp.float32)] * 2,
@@ -408,6 +439,8 @@ def _fused_backward_pallas(As, Bs, W, lam, v, w, ct, tile_rows=8, interpret=Fals
     Abar = reassemble(outs[0], outs[1], 8, (2, 2, 2))
     Bbar = reassemble(outs[2], outs[3], 8, (2, 2, 2))
     Wbar_pb = reassemble(outs[4], outs[5], 16, (4, 4))
+    if w_batched:
+        return Abar, Bbar, Wbar_pb.astype(W.dtype)
     return Abar, Bbar, jnp.sum(Wbar_pb, axis=0).astype(W.dtype)
 
 
@@ -448,7 +481,10 @@ def _fused_bwd_xla(iters, interpret, res, ct):
 
     P = jnp.einsum("zijkl,zsjl->zsik", K, BB.conj())
     C = jnp.einsum("zijkl,zsik->zsjl", K, WAA).conj()
-    Q = jnp.einsum("zsik,st->ztik", P, W).reshape(-1, 2, 2, 2, 2)  # (B,s1,s2,i,k)
+    if W.ndim == 3:
+        Q = jnp.einsum("zsik,zst->ztik", P, W).reshape(-1, 2, 2, 2, 2)
+    else:
+        Q = jnp.einsum("zsik,st->ztik", P, W).reshape(-1, 2, 2, 2, 2)  # (B,s1,s2,i,k)
     Cr = C.reshape(-1, 2, 2, 2, 2)
 
     Abar = jnp.einsum("zstaj,ztbj->zsab", Q, As) + jnp.einsum(
@@ -457,7 +493,10 @@ def _fused_bwd_xla(iters, interpret, res, ct):
     Bbar = jnp.einsum("zstaj,ztbj->zsab", Cr, Bs) + jnp.einsum(
         "ztsib,ztia->zsab", Cr, Bs
     )
-    Wbar = jnp.einsum("zsik,ztik->st", P, AA)
+    if W.ndim == 3:
+        Wbar = jnp.einsum("zsik,ztik->zst", P, AA)
+    else:
+        Wbar = jnp.einsum("zsik,ztik->st", P, AA)
     return Abar, Bbar, Wbar
 
 

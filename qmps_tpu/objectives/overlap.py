@@ -67,10 +67,11 @@ def tdvp_objective_pallas(
     objectives is one kernel launch forward, one backward, per sweep step.
     Matches `vmap(tdvp_objective)` to solver precision (see tests).
 
-    At D = 2 with a shared W the whole objective dispatches to the FULLY
-    fused kernel (kernels/tdvp_fused.py): the E build itself runs in VMEM
-    in the same launch as the eigensolve — the XLA vmapped build was
-    99.6% of this path's forward at batch 65536.
+    At D = 2 the whole objective dispatches to the FULLY fused kernel
+    (kernels/tdvp_fused.py): the E build itself runs in VMEM in the same
+    launch as the eigensolve — the XLA vmapped build was 99.6% of this
+    path's forward at batch 65536.  Shared W rides SMEM scalars; a
+    per-trajectory (B, 4, 4) W rides 16 extra VMEM component planes.
     """
     import jax
 
@@ -86,7 +87,7 @@ def tdvp_objective_pallas(
         raise ValueError(
             f"W must be a 2-site (4, 4) gate (optionally batched), got {W.shape}"
         )
-    if As.shape[-1] == 2 and W.ndim == 2:
+    if As.shape[-1] == 2:
         from ..kernels.tdvp_fused import tdvp_objective_fused
 
         return tdvp_objective_fused(As, Bs, W, iters, interpret)

@@ -6,6 +6,7 @@ against a dense numpy mirror and analytic states.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qmps_tpu.core.paulis import X, Y, Z
 from qmps_tpu.mps.imps import (
@@ -229,6 +230,7 @@ class TestMultiSiteCanonical:
             np.testing.assert_allclose(np.asarray(A), np.asarray(B), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_rank_deficient_f32_stays_finite():
     """Rank-deficient states in float32 (the TPU x64-off mode): the
     canonical forms, mixed gauge, entropy, and truncation must all stay

@@ -33,7 +33,10 @@ def test_arnoldi_factorization(rng):
     assert np.linalg.norm(Q.conj() @ Q.T - np.eye(k + 1)) < 1e-10
 
 
-@pytest.mark.parametrize("gap_ratio", [0.5, 0.99, 0.999])
+@pytest.mark.parametrize(
+    "gap_ratio",
+    [0.5, pytest.param(0.99, marks=pytest.mark.slow), pytest.param(0.999, marks=pytest.mark.slow)],
+)
 def test_arnoldi_near_degenerate(rng, gap_ratio):
     """Engineered gap ratio up to 0.999 at n = 1024 (D=32): residual < 1e-8.
 

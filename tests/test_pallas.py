@@ -168,7 +168,7 @@ def test_power_kernel_padding(key):
     """Batch not a multiple of the tile: identity padding is dropped."""
     B = 5
     E = np.asarray(physical_batch(B, key)).astype(np.complex64)
-    lam, v = dominant_eig_batched(jnp.asarray(E), iters=96, interpret=True)
+    lam, v = dominant_eig_batched(jnp.asarray(E), iters=32, interpret=True)
     assert lam.shape == (B,)
     for b in range(B):
         w = np.linalg.eigvals(E[b].astype(np.complex128))
@@ -177,10 +177,13 @@ def test_power_kernel_padding(key):
         )
 
 
+@pytest.mark.slow
 def test_manifold_overlap_pallas_matches_flat_matmul(key):
     """The fused brickwork-overlap kernel agrees with the XLA flat-matmul
     form (itself pinned to the reference einsum to 1e-12) on a batch that
-    is not a multiple of the tile, exercising padding."""
+    is not a multiple of the tile, exercising padding.  Slow suite: the
+    interpret-mode sweep of the fused kernel is ~1 min on one CPU, and the
+    same cross-kernel equality is asserted on-chip every bench run."""
     from qmps_tpu.kernels import manifold_overlap_batched, manifold_overlap_pallas
 
     B = 7

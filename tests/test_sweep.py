@@ -61,9 +61,9 @@ def test_refine_passes_only_improve():
     rescues bad basins (elementwise best is kept)."""
     from qmps_tpu.ham import tfim_gs_energy
 
-    gs = jnp.linspace(0.3, 1.8, 24)
-    e0, p0 = sweep_ground_states(gs, D=2, steps=120)
-    e1, p1 = sweep_ground_states(gs, D=2, steps=120, refine_passes=1)
+    gs = jnp.linspace(0.3, 1.8, 16)
+    e0, p0 = sweep_ground_states(gs, D=2, steps=100)
+    e1, p1 = sweep_ground_states(gs, D=2, steps=100, refine_passes=1)
     assert np.all(np.asarray(e1) <= np.asarray(e0) + 1e-12)
     exact = np.asarray(tfim_gs_energy(np.asarray(gs, np.float64)))
     assert np.max(np.asarray(e1, np.float64) - exact) < 5e-3

@@ -37,7 +37,7 @@ def _W(key):
 def test_fused_forward_matches_unfused():
     As, Bs = _batch(jax.random.PRNGKey(0))
     W = _W(jax.random.PRNGKey(1))
-    got = tdvp_objective_fused(As, Bs, W, 48, True)  # interpret mode
+    got = tdvp_objective_fused(As, Bs, W, 16, True)  # interpret mode
     want = jax.vmap(lambda a, b: tdvp_objective(a, b, W))(As, Bs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
@@ -47,7 +47,7 @@ def test_fused_gradient_matches_xla_grad():
     W = _W(jax.random.PRNGKey(3))
 
     def loss_fused(As, Bs, W):
-        return jnp.sum(tdvp_objective_fused(As, Bs, W, 48, True))
+        return jnp.sum(tdvp_objective_fused(As, Bs, W, 16, True))
 
     def loss_ref(As, Bs, W):
         return jnp.sum(jax.vmap(lambda a, b: tdvp_objective(a, b, W))(As, Bs))
@@ -60,6 +60,41 @@ def test_fused_gradient_matches_xla_grad():
         )
 
 
+def _W_batch(key, B):
+    ks = jax.random.split(key, B)
+    return jnp.stack([_W(k) for k in ks])
+
+
+def test_fused_forward_batched_W_matches_unfused():
+    """Per-trajectory (B, 4, 4) gates (the MC-trajectory / per-time-slice
+    path): every element agrees with its own unfused objective."""
+    As, Bs = _batch(jax.random.PRNGKey(7), B=5)
+    Ws = _W_batch(jax.random.PRNGKey(8), 5)
+    got = tdvp_objective_fused(As, Bs, Ws, 16, True)  # interpret mode
+    want = jax.vmap(tdvp_objective)(As, Bs, Ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_gradient_batched_W_matches_xla_grad():
+    As, Bs = _batch(jax.random.PRNGKey(9), B=3)
+    Ws = _W_batch(jax.random.PRNGKey(10), 3)
+
+    def loss_fused(As, Bs, Ws):
+        return jnp.sum(tdvp_objective_fused(As, Bs, Ws, 16, True))
+
+    def loss_ref(As, Bs, Ws):
+        return jnp.sum(jax.vmap(tdvp_objective)(As, Bs, Ws))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(As, Bs, Ws)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(As, Bs, Ws)
+    assert g_fused[2].shape == Ws.shape
+    for gf, gr, name in zip(g_fused, g_ref, ("A", "B", "W")):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=5e-5, err_msg=name
+        )
+
+
+@pytest.mark.slow
 def test_fused_gradient_finite_differences():
     """Independent of both implementations: directional finite differences
     of the fused objective against its own reported gradient."""
@@ -67,7 +102,7 @@ def test_fused_gradient_finite_differences():
     W = _W(jax.random.PRNGKey(5))
 
     def f(As):
-        return jnp.sum(tdvp_objective_fused(As, Bs, W, 48, True))
+        return jnp.sum(tdvp_objective_fused(As, Bs, W, 16, True))
 
     g = jax.grad(f)(As)
     key = jax.random.PRNGKey(6)
