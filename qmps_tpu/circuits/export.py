@@ -267,6 +267,38 @@ def to_openqasm(ops: Iterable[Op], n: int) -> Tuple[str, float]:
 # ---------------------------------------------------------------------------
 
 
+def _eval_param(expr: str) -> float:
+    """Safely evaluate a QASM angle expression (numbers, pi, + - * / and
+    unary minus — the qelib1 parameter grammar).  No ``eval``: externally
+    produced QASM is untrusted input."""
+    import ast
+
+    node = ast.parse(expr, mode="eval").body
+
+    def ev2(n):
+        if isinstance(n, ast.BinOp):
+            a, b = ev2(n.left), ev2(n.right)
+            if isinstance(n.op, ast.Add):
+                return a + b
+            if isinstance(n.op, ast.Sub):
+                return a - b
+            if isinstance(n.op, ast.Mult):
+                return a * b
+            if isinstance(n.op, ast.Div):
+                return a / b
+            raise ValueError(f"unsupported operator in: {expr!r}")
+        if isinstance(n, ast.UnaryOp) and isinstance(n.op, (ast.UAdd, ast.USub)):
+            v = ev2(n.operand)
+            return -v if isinstance(n.op, ast.USub) else v
+        if isinstance(n, ast.Constant) and isinstance(n.value, (int, float)):
+            return float(n.value)
+        if isinstance(n, ast.Name) and n.id == "pi":
+            return math.pi
+        raise ValueError(f"unsupported QASM parameter expression: {expr!r}")
+
+    return float(ev2(node))
+
+
 def parse_openqasm(text: str) -> Tuple[List[Op], int]:
     """Parse the emitted OpenQASM subset back into an op list (round-trip
     verification, and an import path for externally produced u3/cx
@@ -285,7 +317,7 @@ def parse_openqasm(text: str) -> Tuple[List[Op], int]:
             continue
         m = re.match(r"u3\(([^)]*)\)\s+\w+\[(\d+)\];", line)
         if m:
-            th, ph, la = [float(eval(x, {"pi": math.pi})) for x in m.group(1).split(",")]
+            th, ph, la = [_eval_param(x) for x in m.group(1).split(",")]
             ops.append((_u3(th, ph, la), (int(m.group(2)),)))
             continue
         m = re.match(r"h\s+\w+\[(\d+)\];", line)

@@ -13,7 +13,8 @@ dense chains).  This probe isolates WHICH ingredient triggers it:
   mode=noisy_fwd    outer scan over one forward evaluation only
   mode=noisy_small  noisy_grad with a 3-gate circuit (program-size axis)
 
-Usage: python axon_scan_crash_probe.py MODE OUTER_LEN
+Usage: python axon_scan_crash_probe.py MODE OUTER_LEN   (INNER env var
+sets the inner-opt scan length, default 80)
 Prints one line: PROBE <mode> <len> PASS <secs> | readback value, or
 dies/hangs (driver applies a timeout).  Fresh process per probe; the
 backend needs ~2 min cooldown after a crash before compiles work again.
@@ -31,6 +32,7 @@ import numpy as np
 
 mode = sys.argv[1]
 L = int(sys.argv[2])
+INNER = int(os.environ.get("INNER", "80"))
 
 import optax
 
@@ -78,7 +80,7 @@ def make_body():
                 up, s = opt.update(g, s)
                 return (optax.apply_updates(pp, up), s), v
 
-            (p2, _), vs = jax.lax.scan(inner, (p, opt.init(p)), None, length=80)
+            (p2, _), vs = jax.lax.scan(inner, (p, opt.init(p)), None, length=INNER)
             return p2, vs[-1]
 
         return body

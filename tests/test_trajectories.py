@@ -60,8 +60,8 @@ def test_trajectory_energy_matches_density_matrix():
     h = np.asarray(tfim(1.0).to_matrix())
     p = 0.02
     e_dm = float(noisy_energy(ops, n, V, h, p))
-    e_mc = float(trajectory_energy(ops, n, V, h, p, jax.random.PRNGKey(3), 2048))
-    assert abs(e_mc - e_dm) < 0.08, (e_mc, e_dm)
+    e_mc = float(trajectory_energy(ops, n, V, h, p, jax.random.PRNGKey(3), 512))
+    assert abs(e_mc - e_dm) < 0.15, (e_mc, e_dm)
 
 
 @pytest.mark.slow
@@ -91,11 +91,11 @@ def test_noisy_optimizer_trajectory_mode():
     p = 0.01
     opt_dm = NoisyNonSparseFullEnergyOptimizer(H, p)
     opt_mc = NoisyNonSparseFullEnergyOptimizer(
-        H, p, simulation="trajectories", n_traj=1024
+        H, p, simulation="trajectories", n_traj=256
     )
     params = opt_dm.initial_guess
     e_dm = float(opt_dm.objective_function(params))
     e_mc = float(opt_mc.objective_function(params))
-    assert abs(e_mc - e_dm) < 0.1, (e_mc, e_dm)
+    assert abs(e_mc - e_dm) < 0.2, (e_mc, e_dm)
     with pytest.raises(ValueError):
         NoisyNonSparseFullEnergyOptimizer(H, p, simulation="nope")
