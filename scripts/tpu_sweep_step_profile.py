@@ -90,6 +90,14 @@ def vg_energy(ur, ui, gs):
 
 
 # ground truth for element 0: dense numpy energy
+def np_tfim(g):
+    # host mirror of parallel.sweep.tfim_matrix (NO eager jnp on TPU)
+    X = np.array([[0.0, 1.0], [1.0, 0.0]])
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]])
+    I2 = np.eye(2)
+    return -np.kron(Z, Z) + g / 2.0 * (np.kron(X, I2) + np.kron(I2, X))
+
+
 def np_energy(U, g):
     # unitary_to_tensor convention (embed/unitaries.py:31-39), verified
     # against the package on CPU to 1e-16
@@ -101,7 +109,7 @@ def np_energy(U, g):
     i = np.argmax(w.real)
     r = v[:, i].reshape(2, 2)
     r = r / np.trace(r)
-    h = np.asarray(tfim_matrix(float(g)))
+    h = np_tfim(float(g))
     return np.einsum("ts,sij,jk,tik->", h, AA, r, AA.conj()).real
 
 

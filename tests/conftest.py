@@ -5,9 +5,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # correctness suite runs on CPU x64
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# the suite is compile-bound on one CPU core; cheap codegen cuts its wall
+# time ~25% with every tolerance unchanged (correctness comes from x64,
+# not LLVM optimization level)
+if "backend_optimization_level" not in flags:
+    flags += (
+        " --xla_backend_optimization_level=0"
+        " --xla_llvm_disable_expensive_passes=true"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

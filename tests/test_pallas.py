@@ -121,10 +121,18 @@ def test_squaring_kernel_general_N(N):
         assert ov > 1 - 1e-5
 
 
-@pytest.mark.parametrize("D", [4, pytest.param(8, marks=pytest.mark.slow)])
+@pytest.mark.parametrize(
+    "D",
+    [
+        pytest.param(4, marks=pytest.mark.slow),
+        pytest.param(8, marks=pytest.mark.slow),
+    ],
+)
 def test_tdvp_objective_pallas_larger_D(key, D):
     """tdvp_objective_pallas matches the dense path in value and gradient at
-    D=4 (component-major kernel) and D=8 (MXU kernel)."""
+    D=4 (component-major kernel) and D=8 (MXU kernel).  Slow suite: the
+    interpret-mode gradient traces are ~15 s each on one CPU; the fast
+    suite keeps the forward-only D=4 check below."""
     import scipy.linalg as sla
 
     from qmps_tpu.ham import tfim
@@ -164,11 +172,35 @@ def test_tdvp_objective_pallas_larger_D(key, D):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), atol=5e-6)
 
 
+def test_tdvp_objective_pallas_D4_forward(key):
+    """Fast-suite forward-only parity of the D=4 component-major kernel
+    path (full fwd+grad parity at D=4/8 lives in the slow variant above)."""
+    import scipy.linalg as sla
+
+    from qmps_tpu.ham import tfim
+    from qmps_tpu.mps.imps import iMPS
+    from qmps_tpu.objectives.overlap import tdvp_objective, tdvp_objective_pallas
+
+    ks = jax.random.split(key, 2)
+    As = jnp.stack([iMPS.random(ks[0], 2, 4).left_canonicalise()[0]])
+    Bs = jnp.stack(
+        [
+            iMPS(
+                [As[0] + 0.03 * jax.random.normal(ks[1], As[0].shape).astype(As.dtype)]
+            ).left_canonicalise()[0]
+        ]
+    )
+    W = np.asarray(sla.expm(-1j * 0.1 * np.asarray(tfim(1.0).to_matrix())))
+    vals_p = tdvp_objective_pallas(As, Bs, W, iters=32, interpret=True)
+    vals_d = jax.vmap(lambda a, b: tdvp_objective(a, b, W))(As, Bs)
+    np.testing.assert_allclose(np.asarray(vals_p), np.asarray(vals_d), atol=5e-6)
+
+
 def test_power_kernel_padding(key):
     """Batch not a multiple of the tile: identity padding is dropped."""
     B = 5
     E = np.asarray(physical_batch(B, key)).astype(np.complex64)
-    lam, v = dominant_eig_batched(jnp.asarray(E), iters=32, interpret=True)
+    lam, v = dominant_eig_batched(jnp.asarray(E), iters=16, interpret=True)
     assert lam.shape == (B,)
     for b in range(B):
         w = np.linalg.eigvals(E[b].astype(np.complex128))

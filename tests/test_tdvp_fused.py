@@ -37,12 +37,16 @@ def _W(key):
 def test_fused_forward_matches_unfused():
     As, Bs = _batch(jax.random.PRNGKey(0), B=4)
     W = _W(jax.random.PRNGKey(1))
-    got = tdvp_objective_fused(As, Bs, W, 12, True)  # interpret mode
+    got = tdvp_objective_fused(As, Bs, W, 8, True)  # interpret mode
     want = jax.vmap(lambda a, b: tdvp_objective(a, b, W))(As, Bs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_fused_gradient_matches_xla_grad():
+    """Slow suite: the interpret-mode custom-vjp trace is ~35 s on one
+    CPU; the same gradient agreement is asserted on-chip (vs numpy eig
+    ground truth) every bench run, and the FD check below is independent."""
     As, Bs = _batch(jax.random.PRNGKey(2), B=2)
     W = _W(jax.random.PRNGKey(3))
 
@@ -70,7 +74,7 @@ def test_fused_forward_batched_W_matches_unfused():
     path): every element agrees with its own unfused objective."""
     As, Bs = _batch(jax.random.PRNGKey(7), B=3)
     Ws = _W_batch(jax.random.PRNGKey(8), 3)
-    got = tdvp_objective_fused(As, Bs, Ws, 12, True)  # interpret mode
+    got = tdvp_objective_fused(As, Bs, Ws, 8, True)  # interpret mode
     want = jax.vmap(tdvp_objective)(As, Bs, Ws)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
