@@ -40,7 +40,7 @@ def _batch(B=5):
 
 def test_forward_matches_fixed_point_path():
     As, hs = _batch()
-    e_f = energy_objective_fused(As, hs, 48)
+    e_f = energy_objective_fused(As, hs, 48, False, "xla")
     e_r = jax.vmap(_e_ref_one)(As, hs)
     np.testing.assert_allclose(np.asarray(e_f), np.asarray(e_r), atol=1e-12)
 
@@ -49,10 +49,10 @@ def test_gradient_matches_fixed_point_path():
     """The money test: the deflated product-form eigenvector adjoint vs
     jax.grad through right_fixed_point's independent implicit adjoint."""
     As, hs = _batch()
-    gf = jax.grad(lambda a: jnp.sum(energy_objective_fused(a, hs, 48)))(As)
+    gf = jax.grad(lambda a: jnp.sum(energy_objective_fused(a, hs, 48, False, "xla")))(As)
     gr = jax.grad(lambda a: jnp.sum(jax.vmap(_e_ref_one)(a, hs)))(As)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-10)
-    gfh = jax.grad(lambda h: jnp.sum(energy_objective_fused(As, h, 48)))(hs)
+    gfh = jax.grad(lambda h: jnp.sum(energy_objective_fused(As, h, 48, False, "xla")))(hs)
     grh = jax.grad(lambda h: jnp.sum(jax.vmap(_e_ref_one)(As, h)))(hs)
     np.testing.assert_allclose(np.asarray(gfh), np.asarray(grh), atol=1e-10)
 
@@ -62,12 +62,12 @@ def test_shared_h_broadcast_and_sum():
     batch sum."""
     As, hs = _batch(3)
     h0 = hs[0]
-    e = energy_objective_fused(As, h0, 48)
-    e_b = energy_objective_fused(As, jnp.broadcast_to(h0, (3, 4, 4)), 48)
+    e = energy_objective_fused(As, h0, 48, False, "xla")
+    e_b = energy_objective_fused(As, jnp.broadcast_to(h0, (3, 4, 4)), 48, False, "xla")
     np.testing.assert_allclose(np.asarray(e), np.asarray(e_b), atol=1e-13)
-    g = jax.grad(lambda h: jnp.sum(energy_objective_fused(As, h, 48)))(h0)
+    g = jax.grad(lambda h: jnp.sum(energy_objective_fused(As, h, 48, False, "xla")))(h0)
     gb = jax.grad(
-        lambda h: jnp.sum(energy_objective_fused(As, jnp.broadcast_to(h, (3, 4, 4)), 48))
+        lambda h: jnp.sum(energy_objective_fused(As, jnp.broadcast_to(h, (3, 4, 4)), 48, False, "xla"))
     )(h0)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gb), atol=1e-12)
 
@@ -90,6 +90,43 @@ def test_near_critical_gradient():
     Z = np.diag([1.0, -1.0])
     I2 = np.eye(2)
     hs = jnp.asarray(-np.kron(Z, Z) + 0.5 * (np.kron(X, I2) + np.kron(I2, X)))[None]
-    gf = jax.grad(lambda a: jnp.sum(energy_objective_fused(a, hs, 48)))(As)
+    gf = jax.grad(lambda a: jnp.sum(energy_objective_fused(a, hs, 48, False, "xla")))(As)
     gr = jax.grad(lambda a: jnp.sum(jax.vmap(_e_ref_one)(a, hs)))(As)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-8)
+
+
+def test_pallas_forward_matches_xla_engine():
+    """The fused kernel (interpret mode, f32 planes) against the x64 XLA
+    specification of the same math."""
+    As, hs = _batch(3)
+    e_k = energy_objective_fused(
+        As.astype(jnp.complex64), hs.astype(jnp.float32), 32, True, "pallas"
+    )
+    e_x = energy_objective_fused(As, hs, 48, False, "xla")
+    np.testing.assert_allclose(np.asarray(e_k), np.asarray(e_x), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_pallas_gradient_matches_xla_engine():
+    """Kernel adjoint (one launch: rebuild + deflated series + transposed
+    builds) against the validated XLA adjoint.  Slow suite: interpret-mode
+    custom-vjp traces are ~30s on one CPU; the same agreement is asserted
+    on-chip in the bench."""
+    As, hs = _batch(2)
+    As32, hs32 = As.astype(jnp.complex64), hs.astype(jnp.float32)
+
+    gk = jax.grad(
+        lambda a: jnp.sum(energy_objective_fused(a, hs32, 32, True, "pallas"))
+    )(As32)
+    gx = jax.grad(
+        lambda a: jnp.sum(energy_objective_fused(a, hs, 48, False, "xla"))
+    )(As)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), atol=3e-4)
+
+    ghk = jax.grad(
+        lambda h: jnp.sum(energy_objective_fused(As32, h, 32, True, "pallas"))
+    )(hs32)
+    ghx = jax.grad(
+        lambda h: jnp.sum(energy_objective_fused(As, h, 48, False, "xla"))
+    )(hs)
+    np.testing.assert_allclose(np.asarray(ghk), np.asarray(ghx), atol=3e-4)
