@@ -230,6 +230,58 @@ def bench_sweep(n_points=1024, steps=300, restarts=4):
     return out
 
 
+def bench_sweep_fused(n_points=1024, steps=300, restarts=4):
+    """The same config-4 workload through the fused Riemannian engine:
+    two Pallas launches per optimizer step (kernels/energy_fused.py), no
+    expm chart — direct isometry descent with closed-form 2x2 polar
+    retraction.  Validated against the exact integral after timing."""
+    from qmps_tpu.ham import tfim_gs_energy
+    from qmps_tpu.parallel.sweep import sweep_ground_states_fused
+
+    gvals = np.linspace(0.1, 2.0, n_points)
+    gs = jnp.asarray(gvals.astype(np.float32))
+    exact = np.asarray(tfim_gs_energy(gvals + 1e-3))
+    es, _ = sweep_ground_states_fused(gs, steps=steps, restarts=restarts)
+    es.block_until_ready()
+    _readback_ok(es)
+    t0 = time.perf_counter()
+    es, As = sweep_ground_states_fused(gs + 1e-3, steps=steps, restarts=restarts)
+    es.block_until_ready()
+    dt = time.perf_counter() - t0
+    # error column: f64 host energies OF THE RETURNED STATES (the on-chip
+    # f32 energy readout can dip ~2e-4 below exact near criticality; a
+    # reported error must be one the returned tensor actually achieves).
+    # Complex D2H transfer is unimplemented on this backend: float planes.
+    split = jax.jit(lambda A: (jnp.real(A).astype(jnp.float32),
+                               jnp.imag(A).astype(jnp.float32)))
+    ar, ai = split(As)
+    A = np.asarray(ar).astype(np.complex128) + 1j * np.asarray(ai)
+    X = np.array([[0.0, 1.0], [1.0, 0.0]])
+    Z = np.diag([1.0, -1.0])
+    I2 = np.eye(2)
+    e64 = np.empty(n_points)
+    for b in range(n_points):
+        AA = np.einsum("sik,tkj->stij", A[b], A[b]).reshape(4, 2, 2)
+        Em = np.einsum("sik,sjl->ijkl", AA, AA.conj()).reshape(4, 4)
+        w, vv = np.linalg.eig(Em)
+        r = vv[:, np.argmax(w.real)].reshape(2, 2)
+        r = (r + r.conj().T) / 2
+        r = r / np.trace(r)
+        h = -np.kron(Z, Z) + (gvals[b] + 1e-3) / 2 * (
+            np.kron(X, I2) + np.kron(I2, X)
+        )
+        e64[b] = np.einsum("ts,sij,jk,tik->", h, AA, r, AA.conj()).real
+    err = e64 - exact
+    assert np.all(np.isfinite(err))
+    return {
+        "sweep_fused_1024_points_seconds": round(dt, 3),
+        "sweep_fused_opts_per_sec": round(n_points / dt, 1),
+        "sweep_fused_median_error": float(np.median(err)),
+        "sweep_fused_max_error": float(np.max(err)),
+        "sweep_fused_min_error": float(np.min(err)),
+    }
+
+
 def bench_gs_large_D(D, steps=200):
     """Riemannian TFIM ground state at bond dimension D: steps/sec + error.
 
@@ -270,6 +322,7 @@ def main():
     ladder["env_windows_sec"] = env_wins
     ladder.update(bench_tdvp_objective())
     ladder.update(bench_sweep())
+    ladder.update(bench_sweep_fused())
     # like-for-like single-chain D=2 row (same measurement as D=8/32/64);
     # the batched-sweep throughput stays under its own distinct key
     ladder.update(bench_gs_large_D(2, steps=300))

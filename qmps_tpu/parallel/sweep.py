@@ -127,6 +127,117 @@ def sweep_ground_states(
     return es, ps
 
 
+_FUSED_SWEEP_CACHE: dict = {}
+
+
+def sweep_ground_states_fused(
+    gs: jnp.ndarray,
+    steps: int = 300,
+    lr: float = 0.1,
+    momentum: float = 0.9,
+    restarts: int = 1,
+    key=None,
+    iters: int = 48,
+    interpret: bool | None = None,
+):
+    """The D = 2 phase-diagram sweep with the FULLY FUSED energy objective
+    (kernels/energy_fused.py): per optimizer step the whole batch's
+    energies + gradients are TWO Pallas launches (forward with
+    eigenvectors, transposed-build adjoint) instead of the ~dozen
+    separately-lowered XLA stages of the suN-chart path — measured 58% of
+    the per-step time at batch 1024, plus the expm ansatz map (29%) that
+    this path removes entirely.
+
+    TPU-first design: optimize the (4, 2) MPS isometry DIRECTLY with
+    heavy-ball Riemannian descent (optim/riemann.py's method, batched) —
+    tangent projection, retraction by the CLOSED-FORM 2x2 polar factor
+    (inverse square root of V^dag V via the trace/det formula; no SVD, no
+    expm, all elementwise), so every non-kernel op in the scan body is a
+    cheap batched elementwise/2x2 op.
+
+    Returns (energies, As): (n,) and (n, 2, 2, 2) left-canonical tensors
+    (best basin per point over ``restarts`` independent starts).
+    """
+    from ..kernels.energy_fused import energy_objective_fused
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    gs = jnp.asarray(gs)
+    n = gs.shape[0]
+    Bt = n * restarts
+    key = jax.random.PRNGKey(0) if key is None else key
+    ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    xre = jax.random.normal(key, (Bt, 4, 2), ftype)
+    xim = jax.random.normal(jax.random.fold_in(key, 1), (Bt, 4, 2), ftype)
+
+    cache_key = (steps, lr, momentum, restarts, iters, interpret, bool(jax.config.jax_enable_x64))
+    fn = _FUSED_SWEEP_CACHE.get(cache_key)
+    if fn is None:
+
+        def run(gs, xre, xim):
+            n = gs.shape[0]  # from the traced arg: the cached program is
+            Bt = n * restarts  # shape-polymorphic via jit re-specialization
+            hs = jax.vmap(tfim_matrix)(gs)
+            hs = (hs.real if jnp.iscomplexobj(hs) else hs).astype(ftype)
+            hs = jnp.broadcast_to(hs[:, None], (n, restarts, 4, 4)).reshape(Bt, 4, 4)
+            V0, _ = jnp.linalg.qr(jax.lax.complex(xre, xim))
+
+            def loss(V):
+                A = V.reshape(-1, 2, 2, 2).transpose(0, 2, 1, 3)  # (B, s, i, j)
+                return energy_objective_fused(A, hs, iters, interpret)
+
+            def sym_proj(V, G):
+                VG = jnp.einsum("bji,bjk->bik", V.conj(), G)
+                S = (VG + jnp.swapaxes(VG, -1, -2).conj()) / 2
+                return G - jnp.einsum("bij,bjk->bik", V, S)
+
+            def polar(W):
+                H = jnp.einsum("bji,bjk->bik", W.conj(), W)  # (B, 2, 2) PSD
+                t = jnp.trace(H, axis1=-2, axis2=-1).real
+                dt = (
+                    H[:, 0, 0] * H[:, 1, 1] - H[:, 0, 1] * H[:, 1, 0]
+                ).real
+                s = jnp.sqrt(jnp.maximum(dt, 0.0))
+                # sqrt(H) = (H + s I)/sqrt(t + 2s); inv via 2x2 adjugate
+                denom = jnp.sqrt(jnp.maximum(t + 2.0 * s, 1e-30))
+                HsI = H + s[:, None, None] * jnp.eye(2, dtype=H.dtype)
+                detHsI = HsI[:, 0, 0] * HsI[:, 1, 1] - HsI[:, 0, 1] * HsI[:, 1, 0]
+                adj = jnp.stack(
+                    [
+                        jnp.stack([HsI[:, 1, 1], -HsI[:, 0, 1]], -1),
+                        jnp.stack([-HsI[:, 1, 0], HsI[:, 0, 0]], -1),
+                    ],
+                    -2,
+                )
+                inv_sqrtH = adj * (denom / detHsI)[:, None, None]
+                return jnp.einsum("bij,bjk->bik", W, inv_sqrtH)
+
+            def step(carry, _):
+                V, M = carry
+                es, vjpf = jax.vjp(loss, V)
+                (G,) = vjpf(jnp.ones_like(es))
+                T = sym_proj(V, G.conj())
+                M = momentum * M + T
+                V = polar(V - lr * M)
+                M = sym_proj(V, M)
+                return (V, M), None
+
+            (V, _), _ = jax.lax.scan(
+                step, (V0, jnp.zeros_like(V0)), None, length=steps
+            )
+            es = loss(V)
+            er = es.reshape(n, restarts)
+            i = jnp.argmin(er, axis=1)
+            Vr = V.reshape(n, restarts, 4, 2)
+            Vbest = jnp.take_along_axis(Vr, i[:, None, None, None], axis=1)[:, 0]
+            A = Vbest.reshape(n, 2, 2, 2).transpose(0, 2, 1, 3)
+            return jnp.min(er, axis=1), A
+
+        fn = jax.jit(run)
+        _FUSED_SWEEP_CACHE[cache_key] = fn
+    return fn(gs, xre, xim)
+
+
 def multi_start_ground_state(
     g: float,
     D: int = 2,

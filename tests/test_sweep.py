@@ -85,3 +85,33 @@ def test_shard_over_sweep_identity_and_mesh():
     x1, y1 = jax.jit(shard_over_sweep(f, make_mesh()))(a, b)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x0))
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0))
+
+
+def test_fused_sweep_smoke():
+    """sweep_ground_states_fused runs end to end on the virtual mesh box:
+    finite energies, left-canonical returned tensors, restart reduction."""
+    from qmps_tpu.parallel.sweep import sweep_ground_states_fused
+
+    gs = jnp.linspace(0.5, 1.5, 4)
+    es, As = sweep_ground_states_fused(gs, steps=25, restarts=2)
+    assert es.shape == (4,) and As.shape == (4, 2, 2, 2)
+    assert np.all(np.isfinite(np.asarray(es)))
+    A = np.asarray(As)
+    lc = np.einsum("bsik,bsij->bkj", A.conj(), A)
+    np.testing.assert_allclose(lc, np.broadcast_to(np.eye(2), lc.shape), atol=1e-10)
+
+
+@pytest.mark.slow
+def test_fused_sweep_converges_to_exact():
+    """The fused Riemannian sweep lands on the exact TFIM integral to the
+    same tolerance class as the suN-chart sweep."""
+    from qmps_tpu.ham import tfim_gs_energy
+    from qmps_tpu.parallel.sweep import sweep_ground_states_fused
+
+    gs = jnp.linspace(0.3, 1.8, 12)
+    es, _ = sweep_ground_states_fused(gs, steps=220, restarts=2)
+    exact = np.asarray(tfim_gs_energy(np.asarray(gs, np.float64)))
+    err = np.asarray(es, np.float64) - exact
+    assert np.all(err > -1e-9), err  # variational: never below exact
+    assert np.median(err) < 5e-4, err
+    assert np.max(err) < 5e-3, err
