@@ -241,11 +241,11 @@ def bench_sweep_fused(n_points=1024, steps=300, restarts=4):
     gvals = np.linspace(0.1, 2.0, n_points)
     gs = jnp.asarray(gvals.astype(np.float32))
     exact = np.asarray(tfim_gs_energy(gvals + 1e-3))
-    es, _ = sweep_ground_states_fused(gs, steps=steps, restarts=restarts)
+    es, _ = sweep_ground_states_fused(gs, steps=steps, restarts=restarts, chunk=50)
     es.block_until_ready()
     _readback_ok(es)
     t0 = time.perf_counter()
-    es, As = sweep_ground_states_fused(gs + 1e-3, steps=steps, restarts=restarts)
+    es, As = sweep_ground_states_fused(gs + 1e-3, steps=steps, restarts=restarts, chunk=50)
     es.block_until_ready()
     dt = time.perf_counter() - t0
     # error column: f64 host energies OF THE RETURNED STATES (the on-chip

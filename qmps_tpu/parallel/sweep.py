@@ -8,6 +8,8 @@ compiled+sharded call (BASELINE.json config 4).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -139,6 +141,8 @@ def sweep_ground_states_fused(
     key=None,
     iters: int = 48,
     interpret: bool | None = None,
+    chunk: int | None = None,
+    engine: str = "pallas",
 ):
     """The D = 2 phase-diagram sweep with the FULLY FUSED energy objective
     (kernels/energy_fused.py): per optimizer step the whole batch's
@@ -157,9 +161,14 @@ def sweep_ground_states_fused(
 
     Returns (energies, As): (n,) and (n, 2, 2, 2) left-canonical tensors
     (best basin per point over ``restarts`` independent starts).
-    """
-    from ..kernels.energy_fused import energy_objective_fused
 
+    ``chunk`` bounds the per-program scan length: steps run as
+    ceil(steps/chunk) calls of one compiled chunk program with the
+    (V, momentum) state carried device-side.  Long scans over
+    Pallas-call bodies compile unboundedly slowly through this backend's
+    remote AOT pipeline (docs/DESIGN.md "long-scan pathology"); chunk=50
+    keeps the compile bounded at a cost of a few host dispatches.
+    """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     gs = jnp.asarray(gs)
@@ -170,72 +179,92 @@ def sweep_ground_states_fused(
     xre = jax.random.normal(key, (Bt, 4, 2), ftype)
     xim = jax.random.normal(jax.random.fold_in(key, 1), (Bt, 4, 2), ftype)
 
-    cache_key = (steps, lr, momentum, restarts, iters, interpret, bool(jax.config.jax_enable_x64))
-    fn = _FUSED_SWEEP_CACHE.get(cache_key)
-    if fn is None:
+    cache_key = (lr, momentum, restarts, iters, interpret, engine, bool(jax.config.jax_enable_x64))
+    fns = _FUSED_SWEEP_CACHE.get(cache_key)
+    if fns is None:
+        fns = _fused_sweep_programs(lr, momentum, restarts, iters, interpret, ftype, engine)
+        _FUSED_SWEEP_CACHE[cache_key] = fns
+    init, advance, finish = fns
 
-        def run(gs, xre, xim):
-            n = gs.shape[0]  # from the traced arg: the cached program is
-            Bt = n * restarts  # shape-polymorphic via jit re-specialization
-            hs = jax.vmap(tfim_matrix)(gs)
-            hs = (hs.real if jnp.iscomplexobj(hs) else hs).astype(ftype)
-            hs = jnp.broadcast_to(hs[:, None], (n, restarts, 4, 4)).reshape(Bt, 4, 4)
-            V0, _ = jnp.linalg.qr(jax.lax.complex(xre, xim))
+    if chunk is None:
+        chunk = steps
+    hs, V, M = init(gs, xre, xim)
+    done = 0
+    while done < steps:
+        length = min(chunk, steps - done)
+        V, M = advance(V, M, hs, length)
+        done += length
+    return finish(V, hs)
 
-            def loss(V):
-                A = V.reshape(-1, 2, 2, 2).transpose(0, 2, 1, 3)  # (B, s, i, j)
-                return energy_objective_fused(A, hs, iters, interpret)
 
-            def sym_proj(V, G):
-                VG = jnp.einsum("bji,bjk->bik", V.conj(), G)
-                S = (VG + jnp.swapaxes(VG, -1, -2).conj()) / 2
-                return G - jnp.einsum("bij,bjk->bik", V, S)
+def _fused_sweep_programs(lr, momentum, restarts, iters, interpret, ftype, engine="pallas"):
+    """Three cached jitted programs (init / advance-by-k / finish) for
+    sweep_ground_states_fused."""
+    from ..kernels.energy_fused import energy_objective_fused
 
-            def polar(W):
-                H = jnp.einsum("bji,bjk->bik", W.conj(), W)  # (B, 2, 2) PSD
-                t = jnp.trace(H, axis1=-2, axis2=-1).real
-                dt = (
-                    H[:, 0, 0] * H[:, 1, 1] - H[:, 0, 1] * H[:, 1, 0]
-                ).real
-                s = jnp.sqrt(jnp.maximum(dt, 0.0))
-                # sqrt(H) = (H + s I)/sqrt(t + 2s); inv via 2x2 adjugate
-                denom = jnp.sqrt(jnp.maximum(t + 2.0 * s, 1e-30))
-                HsI = H + s[:, None, None] * jnp.eye(2, dtype=H.dtype)
-                detHsI = HsI[:, 0, 0] * HsI[:, 1, 1] - HsI[:, 0, 1] * HsI[:, 1, 0]
-                adj = jnp.stack(
-                    [
-                        jnp.stack([HsI[:, 1, 1], -HsI[:, 0, 1]], -1),
-                        jnp.stack([-HsI[:, 1, 0], HsI[:, 0, 0]], -1),
-                    ],
-                    -2,
-                )
-                inv_sqrtH = adj * (denom / detHsI)[:, None, None]
-                return jnp.einsum("bij,bjk->bik", W, inv_sqrtH)
+    def loss(V, hs):
+        A = V.reshape(-1, 2, 2, 2).transpose(0, 2, 1, 3)  # (B, s, i, j)
+        return energy_objective_fused(A, hs, iters, interpret, engine)
 
-            def step(carry, _):
-                V, M = carry
-                es, vjpf = jax.vjp(loss, V)
-                (G,) = vjpf(jnp.ones_like(es))
-                T = sym_proj(V, G.conj())
-                M = momentum * M + T
-                V = polar(V - lr * M)
-                M = sym_proj(V, M)
-                return (V, M), None
+    def sym_proj(V, G):
+        VG = jnp.einsum("bji,bjk->bik", V.conj(), G)
+        S = (VG + jnp.swapaxes(VG, -1, -2).conj()) / 2
+        return G - jnp.einsum("bij,bjk->bik", V, S)
 
-            (V, _), _ = jax.lax.scan(
-                step, (V0, jnp.zeros_like(V0)), None, length=steps
-            )
-            es = loss(V)
-            er = es.reshape(n, restarts)
-            i = jnp.argmin(er, axis=1)
-            Vr = V.reshape(n, restarts, 4, 2)
-            Vbest = jnp.take_along_axis(Vr, i[:, None, None, None], axis=1)[:, 0]
-            A = Vbest.reshape(n, 2, 2, 2).transpose(0, 2, 1, 3)
-            return jnp.min(er, axis=1), A
+    def polar(W):
+        H = jnp.einsum("bji,bjk->bik", W.conj(), W)  # (B, 2, 2) PSD
+        t = jnp.trace(H, axis1=-2, axis2=-1).real
+        dt = (H[:, 0, 0] * H[:, 1, 1] - H[:, 0, 1] * H[:, 1, 0]).real
+        s = jnp.sqrt(jnp.maximum(dt, 0.0))
+        # sqrt(H) = (H + s I)/sqrt(t + 2s); inv via 2x2 adjugate
+        denom = jnp.sqrt(jnp.maximum(t + 2.0 * s, 1e-30))
+        HsI = H + s[:, None, None] * jnp.eye(2, dtype=H.dtype)
+        detHsI = HsI[:, 0, 0] * HsI[:, 1, 1] - HsI[:, 0, 1] * HsI[:, 1, 0]
+        adj = jnp.stack(
+            [
+                jnp.stack([HsI[:, 1, 1], -HsI[:, 0, 1]], -1),
+                jnp.stack([-HsI[:, 1, 0], HsI[:, 0, 0]], -1),
+            ],
+            -2,
+        )
+        inv_sqrtH = adj * (denom / detHsI)[:, None, None]
+        return jnp.einsum("bij,bjk->bik", W, inv_sqrtH)
 
-        fn = jax.jit(run)
-        _FUSED_SWEEP_CACHE[cache_key] = fn
-    return fn(gs, xre, xim)
+    @jax.jit
+    def init(gs, xre, xim):
+        n = gs.shape[0]
+        hs = jax.vmap(tfim_matrix)(gs)
+        hs = (hs.real if jnp.iscomplexobj(hs) else hs).astype(ftype)
+        hs = jnp.broadcast_to(hs[:, None], (n, restarts, 4, 4)).reshape(-1, 4, 4)
+        V0, _ = jnp.linalg.qr(jax.lax.complex(xre, xim))
+        return hs, V0, jnp.zeros_like(V0)
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def advance(V, M, hs, length):
+        def step(carry, _):
+            V, M = carry
+            es, vjpf = jax.vjp(lambda v: loss(v, hs), V)
+            (G,) = vjpf(jnp.ones_like(es))
+            T = sym_proj(V, G.conj())
+            M = momentum * M + T
+            V = polar(V - lr * M)
+            M = sym_proj(V, M)
+            return (V, M), None
+
+        (V, M), _ = jax.lax.scan(step, (V, M), None, length=length)
+        return V, M
+
+    @jax.jit
+    def finish(V, hs):
+        es = loss(V, hs)
+        er = es.reshape(-1, restarts)
+        i = jnp.argmin(er, axis=1)
+        Vr = V.reshape(-1, restarts, 4, 2)
+        Vbest = jnp.take_along_axis(Vr, i[:, None, None, None], axis=1)[:, 0]
+        A = Vbest.reshape(-1, 2, 2, 2).transpose(0, 2, 1, 3)
+        return jnp.min(er, axis=1), A
+
+    return init, advance, finish
 
 
 def multi_start_ground_state(

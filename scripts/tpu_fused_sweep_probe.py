@@ -46,11 +46,11 @@ def report(tag, es, dt, ex):
 
 # fused path: compile + timed second call on a shifted grid
 t0 = time.perf_counter()
-es, _ = sweep_ground_states_fused(gs, steps=steps, restarts=restarts)
+es, _ = sweep_ground_states_fused(gs, steps=steps, restarts=restarts, chunk=50)
 jax.block_until_ready(es)
 print(f"fused compile+run: {time.perf_counter() - t0:.1f}s", flush=True)
 t0 = time.perf_counter()
-es2, As2 = sweep_ground_states_fused(gs + 1e-3, steps=steps, restarts=restarts)
+es2, As2 = sweep_ground_states_fused(gs + 1e-3, steps=steps, restarts=restarts, chunk=50)
 jax.block_until_ready(es2)
 dt_f = time.perf_counter() - t0
 report("fused", es2, dt_f, exact2)

@@ -93,7 +93,12 @@ def test_fused_sweep_smoke():
     from qmps_tpu.parallel.sweep import sweep_ground_states_fused
 
     gs = jnp.linspace(0.5, 1.5, 4)
-    es, As = sweep_ground_states_fused(gs, steps=25, restarts=2)
+    # engine="xla": the sweep wrapper logic (projection, polar retraction,
+    # chunking, restart reduction) without the interpret-mode kernel
+    # compile; the pallas engine is covered by the slow test + on-chip
+    es, As = sweep_ground_states_fused(
+        gs, steps=25, restarts=2, chunk=10, engine="xla"
+    )
     assert es.shape == (4,) and As.shape == (4, 2, 2, 2)
     assert np.all(np.isfinite(np.asarray(es)))
     A = np.asarray(As)
