@@ -317,6 +317,7 @@ def batched_quench_sweep(
     params0=None,
     engine: str = "dense",
     pallas_iters: int = 48,
+    chunk: int | None = None,
 ):
     """Many quench trajectories as ONE program: vmap the full TDVP stepper
     over a batch of post-quench couplings g1 (optionally shard_map'd over a
@@ -326,9 +327,17 @@ def batched_quench_sweep(
 
     engine="dense" (default): per-trajectory repeated-squaring eigensolve
     under vmap.  engine="pallas": the trajectories advance in lockstep and
-    every inner gradient iteration's eigensolve is ONE Pallas power-kernel
-    launch over the whole batch (forward) plus one rank-1 implicit-adjoint
-    outer product (backward) — see kernels/pallas_power.dominant_eigval_batched.
+    every D = 2 inner gradient iteration is ONE fused Pallas launch over
+    the whole batch forward (build + eigensolve in VMEM) plus one
+    transposed-build adjoint launch backward — see kernels/tdvp_fused.py.
+
+    ``chunk`` (pallas engine) bounds the compiled outer-scan length: the
+    time axis runs as ceil(n_steps/chunk) calls of one chunk program with
+    the parameter state carried device-side.  The full 300-step outer
+    scan over the fused objective compiles (verified on-chip: runs 7.1 s)
+    but takes ~18 min through this backend's remote AOT pipeline
+    (docs/DESIGN.md "long-scan pathology"); chunk=25 keeps compiles in
+    seconds for production horizons.
 
     Returns (times, loschmidt[len(g1s), n_steps]).
     """
@@ -385,32 +394,50 @@ def batched_quench_sweep(
         A0 = unitary_to_tensor(gate(params0))
         u2t = lambda p: unitary_to_tensor(gate(p))
 
-        def sweep(g1b, p0b):
-            Ws = jax.vmap(make_W)(g1b)
+        def sweep_chunk(length):
+            def f(g1b, p0b):
+                Ws = jax.vmap(make_W)(g1b)
 
-            def loss(ps, As):
-                Bs = jax.vmap(u2t)(ps)
-                return jnp.sum(
-                    tdvp_objective_pallas(As, Bs, Ws, pallas_iters, interpret)
-                )
+                def loss(ps, As):
+                    Bs = jax.vmap(u2t)(ps)
+                    return jnp.sum(
+                        tdvp_objective_pallas(As, Bs, Ws, pallas_iters, interpret)
+                    )
 
-            vg = jax.value_and_grad(loss)
+                vg = jax.value_and_grad(loss)
 
-            def outer(ps, _):
-                As = jax.vmap(u2t)(ps)
-                ps_new = _warm_started_minimize(vg, opt, inner_steps, ps, As)
-                Bs = jax.vmap(u2t)(ps_new)
-                ovs = jax.vmap(lambda b: tr.right_fixed_point(b, A0)[0])(Bs)
-                return ps_new, jnp.abs(ovs) ** 2
+                def outer(ps, _):
+                    As = jax.vmap(u2t)(ps)
+                    ps_new = _warm_started_minimize(vg, opt, inner_steps, ps, As)
+                    Bs = jax.vmap(u2t)(ps_new)
+                    ovs = jax.vmap(lambda b: tr.right_fixed_point(b, A0)[0])(Bs)
+                    return ps_new, jnp.abs(ovs) ** 2
 
-            _, les = jax.lax.scan(outer, p0b, None, length=n_steps)
-            return les.T  # (batch, n_steps)
+                ps_fin, les = jax.lax.scan(outer, p0b, None, length=length)
+                return ps_fin, les.T  # (batch, length)
+
+            return f
 
         from ..parallel.mesh import shard_over_sweep
 
         # check_vma=False: pallas_call outputs carry no varying-mesh-axis
         # annotation; the sweep is embarrassingly parallel (no collectives)
-        les = jax.jit(shard_over_sweep(sweep, mesh, check_vma=False))(g1s, p0s)
+        if chunk is None:
+            chunk = n_steps
+        fns = {}
+        ps, les_chunks, done = p0s, [], 0
+        while done < n_steps:
+            L = min(chunk, n_steps - done)
+            if L not in fns:
+                fns[L] = jax.jit(
+                    shard_over_sweep(sweep_chunk(L), mesh, check_vma=False)
+                )
+            ps, lc = fns[L](g1s, ps)
+            les_chunks.append(lc)
+            done += L
+        les = les_chunks[0] if len(les_chunks) == 1 else jnp.concatenate(
+            les_chunks, axis=1
+        )
         times = jnp.arange(1, n_steps + 1) * dt
         return times, les
 

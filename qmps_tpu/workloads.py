@@ -116,6 +116,45 @@ class SweepConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class FusedSweepConfig:
+    """Config 4, fused Riemannian engine: two Pallas launches per
+    optimizer step over the whole batch, closed-form polar retraction
+    (parallel.sweep.sweep_ground_states_fused; 13.7x the suN-chart sweep
+    measured head-to-head on one v5e)."""
+
+    n_points: int = 256
+    steps: int = 300
+    restarts: int = 4
+    g_min: float = 0.1
+    g_max: float = 2.0
+    chunk: int = 50  # bounds the scan-length compile cliff (DESIGN.md)
+
+    def run(self) -> dict:
+        from .ham import tfim_gs_energy
+        from .parallel.sweep import sweep_ground_states_fused
+
+        gs = jnp.linspace(self.g_min, self.g_max, self.n_points)
+        es, _ = sweep_ground_states_fused(
+            gs, steps=self.steps, restarts=self.restarts, chunk=self.chunk
+        )
+        es.block_until_ready()
+        t0 = time.perf_counter()
+        es, _ = sweep_ground_states_fused(
+            gs + 1e-3, steps=self.steps, restarts=self.restarts, chunk=self.chunk
+        )
+        es.block_until_ready()
+        dt = time.perf_counter() - t0
+        exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
+        err = np.asarray(es, np.float64) - exact
+        return {
+            "opts_per_sec": self.n_points / dt,
+            "seconds": dt,
+            "median_error": float(np.median(err)),
+            "max_error": float(np.max(err)),
+        }
+
+
+@dataclasses.dataclass(frozen=True)
 class BrickworkConfig:
     """Config 5: gen-2 brickwork TDVP with the flat-matmul hot kernel."""
 
@@ -242,6 +281,7 @@ CONFIG_LADDER = (
     GroundStateConfig(D=4),
     QuenchConfig(),
     SweepConfig(),
+    FusedSweepConfig(),
     BrickworkConfig(),
     LargeDConfig(D=32),
     LargeDConfig(D=64),

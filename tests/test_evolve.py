@@ -98,3 +98,17 @@ def test_jit_cache_bounded_and_keyed():
     k2 = ev._w_key(np.zeros((4, 4), np.float32))
     k3 = ev._w_key(np.zeros((2, 2), np.complex64))
     assert len({k1, k2, k3}) == 3
+
+
+@pytest.mark.slow
+def test_batched_quench_sweep_pallas_chunk_equivalence():
+    """Host-chunking the pallas engine's time axis is exactly equivalent
+    to the single-scan form (the inner optimizer re-initializes each time
+    step, so the chunk boundary carries only the parameter state)."""
+    from qmps_tpu.algorithms.evolve import batched_quench_sweep
+
+    kw = dict(t_max=0.2, n_steps=4, inner_steps=6, gs_steps=40, engine="pallas")
+    t1, l1 = batched_quench_sweep(1.5, [0.2, 0.5], **kw)
+    t2, l2 = batched_quench_sweep(1.5, [0.2, 0.5], chunk=2, **kw)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2))

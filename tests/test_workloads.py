@@ -28,3 +28,14 @@ def test_large_d_config():
 
     m = LargeDConfig(D=16, steps=200).run()
     assert m["error"] < 5e-3 and m["error"] > -1e-8
+
+
+@pytest.mark.slow
+def test_fused_sweep_config():
+    """Slow: interpret-mode pallas inside the chunked scan (~1 min on one
+    CPU); the config's on-chip behavior is the bench's sweep_fused row."""
+    from qmps_tpu.workloads import FusedSweepConfig
+
+    m = FusedSweepConfig(n_points=8, steps=60, restarts=1, chunk=30).run()
+    assert np.isfinite(m["opts_per_sec"])
+    assert m["max_error"] < 5e-2
