@@ -143,6 +143,7 @@ def sweep_ground_states_fused(
     interpret: bool | None = None,
     chunk: int | None = None,
     engine: str = "pallas",
+    mesh: Mesh | None = None,
 ):
     """The D = 2 phase-diagram sweep with the FULLY FUSED energy objective
     (kernels/energy_fused.py): per optimizer step the whole batch's
@@ -179,12 +180,15 @@ def sweep_ground_states_fused(
     xre = jax.random.normal(key, (Bt, 4, 2), ftype)
     xim = jax.random.normal(jax.random.fold_in(key, 1), (Bt, 4, 2), ftype)
 
-    cache_key = (lr, momentum, restarts, iters, interpret, engine, bool(jax.config.jax_enable_x64))
+    cache_key = (lr, momentum, restarts, iters, interpret, engine, mesh,
+                 bool(jax.config.jax_enable_x64))
     fns = _FUSED_SWEEP_CACHE.get(cache_key)
     if fns is None:
-        fns = _fused_sweep_programs(lr, momentum, restarts, iters, interpret, ftype, engine)
+        fns = _fused_sweep_programs(
+            lr, momentum, restarts, iters, interpret, ftype, engine, mesh
+        )
         _FUSED_SWEEP_CACHE[cache_key] = fns
-    init, advance, finish = fns
+    init, make_advance, finish = fns
 
     if chunk is None:
         chunk = steps
@@ -192,15 +196,20 @@ def sweep_ground_states_fused(
     done = 0
     while done < steps:
         length = min(chunk, steps - done)
-        V, M = advance(V, M, hs, length)
+        V, M = make_advance(length)(V, M, hs)
         done += length
     return finish(V, hs)
 
 
-def _fused_sweep_programs(lr, momentum, restarts, iters, interpret, ftype, engine="pallas"):
+def _fused_sweep_programs(
+    lr, momentum, restarts, iters, interpret, ftype, engine="pallas", mesh=None
+):
     """Three cached jitted programs (init / advance-by-k / finish) for
-    sweep_ground_states_fused."""
+    sweep_ground_states_fused.  With a mesh, advance/finish shard the
+    batch axis across devices (pure data parallelism — points and
+    restarts are independent; check_vma=False for the pallas body)."""
     from ..kernels.energy_fused import energy_objective_fused
+    from .mesh import shard_over_sweep
 
     def loss(V, hs):
         A = V.reshape(-1, 2, 2, 2).transpose(0, 2, 1, 3)  # (B, s, i, j)
@@ -239,22 +248,32 @@ def _fused_sweep_programs(lr, momentum, restarts, iters, interpret, ftype, engin
         V0, _ = jnp.linalg.qr(jax.lax.complex(xre, xim))
         return hs, V0, jnp.zeros_like(V0)
 
-    @functools.partial(jax.jit, static_argnums=(3,))
-    def advance(V, M, hs, length):
-        def step(carry, _):
-            V, M = carry
-            es, vjpf = jax.vjp(lambda v: loss(v, hs), V)
-            (G,) = vjpf(jnp.ones_like(es))
-            T = sym_proj(V, G.conj())
-            M = momentum * M + T
-            V = polar(V - lr * M)
-            M = sym_proj(V, M)
-            return (V, M), None
+    _advance_cache = {}
 
-        (V, M), _ = jax.lax.scan(step, (V, M), None, length=length)
-        return V, M
+    def make_advance(length):
+        fn = _advance_cache.get(length)
+        if fn is None:
+
+            def advance(V, M, hs):
+                def step(carry, _):
+                    V, M = carry
+                    es, vjpf = jax.vjp(lambda v: loss(v, hs), V)
+                    (G,) = vjpf(jnp.ones_like(es))
+                    T = sym_proj(V, G.conj())
+                    M = momentum * M + T
+                    V = polar(V - lr * M)
+                    M = sym_proj(V, M)
+                    return (V, M), None
+
+                (V, M), _ = jax.lax.scan(step, (V, M), None, length=length)
+                return V, M
+
+            fn = jax.jit(shard_over_sweep(advance, mesh, check_vma=False))
+            _advance_cache[length] = fn
+        return fn
 
     @jax.jit
+    @functools.partial(shard_over_sweep, mesh=mesh, check_vma=False)
     def finish(V, hs):
         es = loss(V, hs)
         er = es.reshape(-1, restarts)
@@ -264,7 +283,7 @@ def _fused_sweep_programs(lr, momentum, restarts, iters, interpret, ftype, engin
         A = Vbest.reshape(-1, 2, 2, 2).transpose(0, 2, 1, 3)
         return jnp.min(er, axis=1), A
 
-    return init, advance, finish
+    return init, make_advance, finish
 
 
 def multi_start_ground_state(

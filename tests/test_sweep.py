@@ -120,3 +120,18 @@ def test_fused_sweep_converges_to_exact():
     assert np.all(err > -1e-9), err  # variational: never below exact
     assert np.median(err) < 5e-4, err
     assert np.max(err) < 5e-3, err
+
+
+def test_fused_sweep_sharded_matches_unsharded():
+    """Fused sweep over the 8-device virtual mesh == single-device (pure
+    data parallelism over points x restarts; engine='xla' keeps the
+    fast-suite compile cheap — the sharding structure is identical)."""
+    from qmps_tpu.parallel import make_mesh
+    from qmps_tpu.parallel.sweep import sweep_ground_states_fused
+
+    gs = jnp.linspace(0.5, 1.5, 8)
+    kw = dict(steps=20, restarts=2, chunk=10, engine="xla")
+    e1, A1 = sweep_ground_states_fused(gs, **kw)
+    e2, A2 = sweep_ground_states_fused(gs, mesh=make_mesh(), **kw)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A2), atol=1e-12)
