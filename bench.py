@@ -166,11 +166,15 @@ def bench_tdvp_objective(B=65536, iters=20):
 
     @jax.jit
     def fwdgrad(ar, ai, br, bi, wr, wi):
-        def loss(br_, bi_):
-            return jnp.sum(tdvp_objective_fused(c(ar, ai), c(br_, bi_), c(wr, wi), 48, False))
+        # jax.vjp: ONE forward (with_left) + one backward launch, and the
+        # per-element values come out of the same forward — a separate
+        # fwd() call here would add a third launch and understate the rate
+        def obj(br_, bi_):
+            return tdvp_objective_fused(c(ar, ai), c(br_, bi_), c(wr, wi), 48, False)
 
-        gb, _ = jax.grad(loss, argnums=(0, 1))(br, bi)
-        return fwd(ar, ai, br, bi, wr, wi), gb
+        vals, vjpf = jax.vjp(obj, br, bi)
+        gb, _ = vjpf(jnp.ones_like(vals))
+        return vals, gb
 
     out = {}
     for name, f, check_grad in (("tdvp_obj_fused", fwd, False),
@@ -252,6 +256,8 @@ def bench_sweep_fused(n_points=1024, steps=300, restarts=4):
     # f32 energy readout can dip ~2e-4 below exact near criticality; a
     # reported error must be one the returned tensor actually achieves).
     # Complex D2H transfer is unimplemented on this backend: float planes.
+    from qmps_tpu.ham.classical_baselines import host_energy_d2
+
     split = jax.jit(lambda A: (jnp.real(A).astype(jnp.float32),
                                jnp.imag(A).astype(jnp.float32)))
     ar, ai = split(As)
@@ -261,16 +267,10 @@ def bench_sweep_fused(n_points=1024, steps=300, restarts=4):
     I2 = np.eye(2)
     e64 = np.empty(n_points)
     for b in range(n_points):
-        AA = np.einsum("sik,tkj->stij", A[b], A[b]).reshape(4, 2, 2)
-        Em = np.einsum("sik,sjl->ijkl", AA, AA.conj()).reshape(4, 4)
-        w, vv = np.linalg.eig(Em)
-        r = vv[:, np.argmax(w.real)].reshape(2, 2)
-        r = (r + r.conj().T) / 2
-        r = r / np.trace(r)
         h = -np.kron(Z, Z) + (gvals[b] + 1e-3) / 2 * (
             np.kron(X, I2) + np.kron(I2, X)
         )
-        e64[b] = np.einsum("ts,sij,jk,tik->", h, AA, r, AA.conj()).real
+        e64[b] = host_energy_d2(A[b], h)
     err = e64 - exact
     assert np.all(np.isfinite(err))
     return {

@@ -424,15 +424,23 @@ def batched_quench_sweep(
         # annotation; the sweep is embarrassingly parallel (no collectives)
         if chunk is None:
             chunk = n_steps
-        fns = {}
+        # module-level program cache: a per-call dict would re-trace and
+        # re-compile the chunk programs on every sweep call — the exact
+        # cost chunking exists to bound
+        key_base = (
+            "quench_pallas_chunk", gate, inner_steps, lr, pallas_iters,
+            interpret, mesh, float(dt), _w_key(params0),
+        )
         ps, les_chunks, done = p0s, [], 0
         while done < n_steps:
             L = min(chunk, n_steps - done)
-            if L not in fns:
-                fns[L] = jax.jit(
+            fn = _cached_jit(
+                key_base + (L,),
+                lambda L=L: jax.jit(
                     shard_over_sweep(sweep_chunk(L), mesh, check_vma=False)
-                )
-            ps, lc = fns[L](g1s, ps)
+                ),
+            )
+            ps, lc = fn(g1s, ps)
             les_chunks.append(lc)
             done += L
         les = les_chunks[0] if len(les_chunks) == 1 else jnp.concatenate(

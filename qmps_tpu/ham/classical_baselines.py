@@ -159,3 +159,27 @@ def heisenberg_exact_energy(J: float = 1.0) -> float:
     1/4 - ln 2 times 4).  The oracle for new_tdvp/HeisenbergHam.py:24-25
     workloads."""
     return J * (1.0 - 4.0 * np.log(2.0))
+
+
+def host_energy_d2(A, h) -> float:
+    """f64 host-numpy uMPS energy of a single left-canonical D = 2 tensor
+    against a two-site Hamiltonian matrix — the independent validation
+    column used by the bench and the TPU probes (a device-side f32 energy
+    readout can dip below the exact value near criticality; a REPORTED
+    error must be one the returned tensor achieves in exact arithmetic).
+
+    Mirrors objectives.energy.energy_exact_env from the tensor (verified
+    to 1e-16 on CPU); dense numpy eig for the right fixed point.
+    """
+    import numpy as np
+
+    A = np.asarray(A).astype(np.complex128)
+    AA = np.einsum("sik,tkj->stij", A, A).reshape(4, 2, 2)
+    E = np.einsum("sik,sjl->ijkl", AA, AA.conj()).reshape(4, 4)
+    w, vv = np.linalg.eig(E)
+    r = vv[:, np.argmax(w.real)].reshape(2, 2)
+    r = (r + r.conj().T) / 2
+    r = r / np.trace(r)
+    return float(
+        np.einsum("ts,sij,jk,tik->", np.asarray(h, np.complex128), AA, r, AA.conj()).real
+    )

@@ -49,7 +49,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_power import _solve_planes
-from .tdvp_fused import LANE, _cmul, _comp_planes, _wget_smem, _wget_vmem
+from .tdvp_fused import (
+    LANE,
+    _cmul,
+    _comp_planes,
+    _plane_AA,
+    _wget_smem,
+    _wget_vmem,
+)
 
 __all__ = ["energy_objective_fused"]
 
@@ -185,25 +192,6 @@ def _energy_bwd_xla(As, hs, lam, v, ct, K=24):
 # Pallas kernels: the same math on component-major planes, whole objective
 # (and whole adjoint) each in ONE launch
 # ---------------------------------------------------------------------------
-
-
-def _plane_AA(are, aim):
-    """AA[(s1 s2), i, j] = sum_k A[s1,i,k] A[s2,k,j] as a plane dict."""
-    aa = {}
-    for s1 in range(2):
-        for s2 in range(2):
-            for i in range(2):
-                for j in range(2):
-                    sr = si = None
-                    for k in range(2):
-                        pr, pi = _cmul(
-                            are[s1 * 4 + i * 2 + k], aim[s1 * 4 + i * 2 + k],
-                            are[s2 * 4 + k * 2 + j], aim[s2 * 4 + k * 2 + j],
-                        )
-                        sr = pr if sr is None else sr + pr
-                        si = pi if si is None else si + pi
-                    aa[(s1 * 2 + s2, i, j)] = (sr, si)
-    return aa
 
 
 def _plane_E(aa):

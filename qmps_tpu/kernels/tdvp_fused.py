@@ -49,6 +49,26 @@ def _wget_vmem(wre_ref, wim_ref):
     return lambda s, t: (wre_ref[s * 4 + t], wim_ref[s * 4 + t])
 
 
+def _plane_AA(are, aim):
+    """AA[(s1 s2), i, j] = sum_k A[s1, i, k] A[s2, k, j] as a plane dict
+    (the two-site blocking; shared by the TDVP and energy kernels)."""
+    aa = {}
+    for s1 in range(2):
+        for s2 in range(2):
+            for i in range(2):
+                for j in range(2):
+                    sr = si = None
+                    for k in range(2):
+                        pr, pi = _cmul(
+                            are[s1 * 4 + i * 2 + k], aim[s1 * 4 + i * 2 + k],
+                            are[s2 * 4 + k * 2 + j], aim[s2 * 4 + k * 2 + j],
+                        )
+                        sr = pr if sr is None else sr + pr
+                        si = pi if si is None else si + pi
+                    aa[(s1 * 2 + s2, i, j)] = (sr, si)
+    return aa
+
+
 def _build_E_planes(are, aim, bre, bim, wget):
     """In-VMEM transfer-matrix build from A/B component planes.
 
@@ -58,21 +78,7 @@ def _build_E_planes(are, aim, bre, bim, wget):
     (e_re, e_im, aa, waa, bb) where e comps are row (i j), col (k l) of
     the 16-component E; aa/waa/bb feed the backward side.
     """
-    # AA[(s1 s2), i, j] = sum_k A[s1, i, k] A[s2, k, j]
-    aa = {}
-    for s1 in range(2):
-        for s2 in range(2):
-            for i in range(2):
-                for j in range(2):
-                    sr = None
-                    for k in range(2):
-                        pr, pi = _cmul(
-                            are[s1 * 4 + i * 2 + k], aim[s1 * 4 + i * 2 + k],
-                            are[s2 * 4 + k * 2 + j], aim[s2 * 4 + k * 2 + j],
-                        )
-                        sr = pr if sr is None else sr + pr
-                        si = pi if k == 0 else si + pi
-                    aa[(s1 * 2 + s2, i, j)] = (sr, si)
+    aa = _plane_AA(are, aim)
 
     # WAA[s, i, j] = sum_t W[s, t] AA[t, i, j]
     waa = {}
@@ -90,20 +96,7 @@ def _build_E_planes(are, aim, bre, bim, wget):
                 waa[(s, i, j)] = (sr, si)
 
     # BB[(s1 s2), j, l] = sum_m B[s1, j, m] B[s2, m, l]
-    bb = {}
-    for s1 in range(2):
-        for s2 in range(2):
-            for j in range(2):
-                for l in range(2):
-                    sr = None
-                    for m in range(2):
-                        pr, pi = _cmul(
-                            bre[s1 * 4 + j * 2 + m], bim[s1 * 4 + j * 2 + m],
-                            bre[s2 * 4 + m * 2 + l], bim[s2 * 4 + m * 2 + l],
-                        )
-                        sr = pr if sr is None else sr + pr
-                        si = pi if m == 0 else si + pi
-                    bb[(s1 * 2 + s2, j, l)] = (sr, si)
+    bb = _plane_AA(bre, bim)
 
     # E[(i j), (k l)] = sum_s WAA[s, i, k] conj(BB[s, j, l])
     e_re = [None] * 16
@@ -251,17 +244,6 @@ def tdvp_objective_fused(
     return -jnp.abs(lam)
 
 
-def _rebuild(As, Bs, W):
-    """XLA-side AA / WAA / BB (cheap closed forms, needed by the adjoint)."""
-    AA = jnp.einsum("bsik,btkj->bstij", As, As).reshape(-1, 4, 2, 2)
-    if W.ndim == 3:
-        WAA = jnp.einsum("bst,btij->bsij", W, AA)
-    else:
-        WAA = jnp.einsum("st,btij->bsij", W, AA)
-    BB = jnp.einsum("bsik,btkj->bstij", Bs, Bs).reshape(-1, 4, 2, 2)
-    return AA, WAA, BB
-
-
 def _tdvp_bwd_kernel(
     w_batched,
     are_ref, aim_ref, bre_ref, bim_ref,
@@ -272,7 +254,22 @@ def _tdvp_bwd_kernel(
 ):
     """Transposed build: rank-1 adjoint -> (Abar, Bbar, per-batch Wbar)
     planes, all in VMEM.  u = left eigenvector w of E (renamed to avoid
-    the gate-W collision); math in _fused_bwd_xla's docstring."""
+    the gate-W collision).
+
+    Derivation (validated against jax.grad of the unfused XLA objective,
+    tests/test_tdvp_fused.py): g = -|x|, dx = (u^dag dE v)/(u^dag v),
+    E = einsum(WAA[s,i,k], conj(BB[s,j,l])).  With pairing coefficients
+    (de = Re sum T dz for each complex leaf z):
+
+      K[(ij),(kl)] = -(conj(x)/|x|) u*_(ij) v_(kl) / (u^dag v)
+      P[s,i,k] = sum_jl K conj(BB[s,j,l])      (pairs dWAA)
+      C[s,j,l] = conj(sum_ik K WAA[s,i,k])     (pairs dBB)
+      Q[t,i,k] = sum_s P[s,i,k] W[s,t]         (pairs dAA)
+      T_A[s,a,b] = sum_{t,j} Q[(s t),a,j] A[t,b,j]
+                 + sum_{t,i} Q[(t s),i,b] A[t,i,a]
+      T_B analogous from C and B;  T_W[s,t] = sum_{i,k} P AA
+      (per-batch for batched W; batch-summed for shared W).
+    """
     are = [are_ref[k] for k in range(8)]
     aim = [aim_ref[k] for k in range(8)]
     bre = [bre_ref[k] for k in range(8)]
@@ -452,52 +449,6 @@ def _fused_fwd(As, Bs, W, iters, interpret):
 def _fused_bwd(iters, interpret, res, ct):
     As, Bs, W, lam, v, w = res
     return _fused_backward_pallas(As, Bs, W, lam, v, w, ct, interpret=interpret)
-
-
-def _fused_bwd_xla(iters, interpret, res, ct):
-    """Exact rank-1 implicit adjoint pushed through the transposed build.
-
-    g = -|x|, dx = (w^dag dE v)/(w^dag v), E = einsum(WAA[s,i,k],
-    conj(BB[s,j,l])).  With pairing coefficients (dg = Re sum T dz, JAX
-    cotangent zbar = ct * T — validated against jax.grad of the unfused
-    XLA path in tests/test_tdvp_fused.py):
-
-      K[(ij),(kl)] = -(conj(x)/|x|) w*_(ij) v_(kl) / (w^dag v)
-      P[s,i,k] = sum_jl K conj(BB[s,j,l])      (pairs dWAA)
-      C[s,j,l] = conj(sum_ik K WAA[s,i,k])     (pairs dBB)
-      Q[t,i,k] = sum_s P[s,i,k] W[s,t]         (pairs dAA)
-      T_A[s,a,b] = sum_{t,j} Q[(s t),a,j] A[t,b,j]
-                 + sum_{t,i} Q[(t s),i,b] A[t,i,a]
-      T_B analogous from C and B;  T_W[s,t] = sum_{b,i,k} P AA.
-    """
-    As, Bs, W, lam, v, w = res
-    AA, WAA, BB = _rebuild(As, Bs, W)
-
-    denom = jnp.einsum("bi,bi->b", w.conj(), v)
-    coef = -(lam.conj() / jnp.abs(lam)) / denom * ct.astype(lam.dtype)
-    K = (coef[:, None, None] * w.conj()[:, :, None] * v[:, None, :]).reshape(
-        -1, 2, 2, 2, 2
-    )  # (B, i, j, k, l)
-
-    P = jnp.einsum("zijkl,zsjl->zsik", K, BB.conj())
-    C = jnp.einsum("zijkl,zsik->zsjl", K, WAA).conj()
-    if W.ndim == 3:
-        Q = jnp.einsum("zsik,zst->ztik", P, W).reshape(-1, 2, 2, 2, 2)
-    else:
-        Q = jnp.einsum("zsik,st->ztik", P, W).reshape(-1, 2, 2, 2, 2)  # (B,s1,s2,i,k)
-    Cr = C.reshape(-1, 2, 2, 2, 2)
-
-    Abar = jnp.einsum("zstaj,ztbj->zsab", Q, As) + jnp.einsum(
-        "ztsib,ztia->zsab", Q, As
-    )
-    Bbar = jnp.einsum("zstaj,ztbj->zsab", Cr, Bs) + jnp.einsum(
-        "ztsib,ztia->zsab", Cr, Bs
-    )
-    if W.ndim == 3:
-        Wbar = jnp.einsum("zsik,ztik->zst", P, AA)
-    else:
-        Wbar = jnp.einsum("zsik,ztik->st", P, AA)
-    return Abar, Bbar, Wbar
 
 
 tdvp_objective_fused.defvjp(_fused_fwd, _fused_bwd)

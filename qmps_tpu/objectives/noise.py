@@ -90,31 +90,9 @@ def noisy_tdvp_amplitude(
 ) -> jnp.ndarray:
     """P(|0...0>) of the noisy 6-qubit Bell-form TDVP circuit
     (scripts/loschmidt.py:241-277 noisy_obj): returns rho[0, 0]."""
-    from ..core import gates as g
-    from ..circuits.ir import dagger_ops
-    from ..embed.unitaries import (
-        put_env_on_left_site,
-        put_env_on_right_site,
-        tensor_to_unitary,
-    )
+    from .overlap import bell_tdvp_ops
 
-    U = tensor_to_unitary(A)
-    Ud = tensor_to_unitary(B)
-    R = put_env_on_left_site(r)
-    L = put_env_on_right_site(r.conj().T)
-    ops = [
-        (g.H, (3,)),
-        (g.CNOT, (3, 4)),
-        (U, (2, 3)),
-        (U, (1, 2)),
-        (W.astype(CDTYPE), (2, 3)),
-        (L, (0, 1)),
-        (R, (4, 5)),
-    ]
-    ops += dagger_ops([(Ud, (1, 2))])
-    ops += dagger_ops([(Ud, (2, 3))])
-    ops += [(g.CNOT, (3, 4)), (g.H, (3,))]
-    rho = noisy_circuit_rho(ops, 6, p)
+    rho = noisy_circuit_rho(bell_tdvp_ops(A, B, W, r), 6, p)
     return rho[0, 0].real
 
 

@@ -104,6 +104,32 @@ def tdvp_objective_pallas(
     return -jnp.abs(lam)
 
 
+def bell_tdvp_ops(A: jnp.ndarray, B: jnp.ndarray, W: jnp.ndarray, r: jnp.ndarray):
+    """THE 6-qubit Bell-form TDVP circuit as an op list — the single
+    shared builder behind the exact amplitude (below), the density-matrix
+    noise channel (objectives/noise.py) and the MC-trajectory unraveling
+    (objectives/trajectories.py): Bell pair, two U's up, W across the
+    physical legs, L from r^dag on top, R from r on the bottom, two
+    U'^dag down, CNOT + H (scripts/loschmidt.py:227-238)."""
+    U = tensor_to_unitary(A)
+    Ud = tensor_to_unitary(B)
+    R = put_env_on_left_site(r)
+    L = put_env_on_right_site(r.conj().T)
+    ops = [
+        (g.H, (3,)),
+        (g.CNOT, (3, 4)),
+        (U, (2, 3)),
+        (U, (1, 2)),
+        (W.astype(CDTYPE), (2, 3)),
+        (L, (0, 1)),
+        (R, (4, 5)),
+    ]
+    ops += dagger_ops([(Ud, (1, 2))])
+    ops += dagger_ops([(Ud, (2, 3))])
+    ops += [(g.CNOT, (3, 4)), (g.H, (3,))]
+    return ops
+
+
 def hadamard_test_amplitude(
     A: jnp.ndarray, B: jnp.ndarray, W: jnp.ndarray, r: jnp.ndarray
 ) -> jnp.ndarray:
@@ -122,24 +148,7 @@ def hadamard_test_amplitude(
     we canonicalize on the Bell form, which the reference itself uses for
     its identity battery and production Loschmidt runs.)
     """
-    U = tensor_to_unitary(A)
-    Ud = tensor_to_unitary(B)
-    R = put_env_on_left_site(r)
-    L = put_env_on_right_site(r.conj().T)
-    W = W.astype(CDTYPE)
-    ops = [
-        (g.H, (3,)),
-        (g.CNOT, (3, 4)),
-        (U, (2, 3)),
-        (U, (1, 2)),
-        (W, (2, 3)),
-        (L, (0, 1)),
-        (R, (4, 5)),
-    ]
-    ops += dagger_ops([(Ud, (1, 2))])
-    ops += dagger_ops([(Ud, (2, 3))])
-    ops += [(g.CNOT, (3, 4)), (g.H, (3,))]
-    psi = circuit_state(ops, 6)
+    psi = circuit_state(bell_tdvp_ops(A, B, W, r), 6)
     return 2 * psi[0]
 
 

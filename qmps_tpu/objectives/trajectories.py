@@ -132,30 +132,9 @@ def trajectory_tdvp_p0(
     """MC-trajectory estimate of the noisy Bell-form TDVP amplitude
     rho[0, 0] (objectives.noise.noisy_tdvp_amplitude): mean |<0...0|psi>|^2
     over trajectories of the same 6-qubit circuit."""
-    from ..core import gates as g
-    from ..circuits.ir import dagger_ops
-    from ..embed.unitaries import (
-        put_env_on_left_site,
-        put_env_on_right_site,
-        tensor_to_unitary,
-    )
+    from .overlap import bell_tdvp_ops
 
-    U = tensor_to_unitary(A)
-    Ud = tensor_to_unitary(B)
-    R = put_env_on_left_site(r)
-    L = put_env_on_right_site(r.conj().T)
-    ops = [
-        (g.H, (3,)),
-        (g.CNOT, (3, 4)),
-        (U, (2, 3)),
-        (U, (1, 2)),
-        (W.astype(CDTYPE), (2, 3)),
-        (L, (0, 1)),
-        (R, (4, 5)),
-    ]
-    ops += dagger_ops([(Ud, (1, 2))])
-    ops += dagger_ops([(Ud, (2, 3))])
-    ops += [(g.CNOT, (3, 4)), (g.H, (3,))]
+    ops = bell_tdvp_ops(A, B, W, r)
     keys = jax.random.split(key, n_traj)
 
     def one(k):

@@ -187,6 +187,8 @@ def sweep_ground_states_fused(
         fns = _fused_sweep_programs(
             lr, momentum, restarts, iters, interpret, ftype, engine, mesh
         )
+        if len(_FUSED_SWEEP_CACHE) >= 16:  # bound: a hyperparameter scan
+            _FUSED_SWEEP_CACHE.pop(next(iter(_FUSED_SWEEP_CACHE)))
         _FUSED_SWEEP_CACHE[cache_key] = fns
     init, make_advance, finish = fns
 
@@ -228,7 +230,13 @@ def _fused_sweep_programs(
         # sqrt(H) = (H + s I)/sqrt(t + 2s); inv via 2x2 adjugate
         denom = jnp.sqrt(jnp.maximum(t + 2.0 * s, 1e-30))
         HsI = H + s[:, None, None] * jnp.eye(2, dtype=H.dtype)
-        detHsI = HsI[:, 0, 0] * HsI[:, 1, 1] - HsI[:, 0, 1] * HsI[:, 1, 0]
+        # det(H + sI) is real for hermitian PSD H; guard the division like
+        # every other quotient here (a rank-deficient W would otherwise
+        # NaN-poison its sweep point for all remaining steps)
+        detHsI = jnp.maximum(
+            (HsI[:, 0, 0] * HsI[:, 1, 1] - HsI[:, 0, 1] * HsI[:, 1, 0]).real,
+            1e-30,
+        )
         adj = jnp.stack(
             [
                 jnp.stack([HsI[:, 1, 1], -HsI[:, 0, 1]], -1),

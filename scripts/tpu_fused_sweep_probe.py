@@ -65,6 +65,8 @@ def np_energy_states(A, gvals):
     """f64 host energies of returned tensors — the honest error column
     (the on-chip f32 energy READOUT can dip below exact by ~2e-4 on
     near-critical points; the states themselves must not)."""
+    from qmps_tpu.ham.classical_baselines import host_energy_d2
+
     ar, ai = _split(A)
     A = np.asarray(ar).astype(np.complex128) + 1j * np.asarray(ai)
     X = np.array([[0.0, 1.0], [1.0, 0.0]])
@@ -72,14 +74,8 @@ def np_energy_states(A, gvals):
     I2 = np.eye(2)
     out = np.empty(A.shape[0])
     for b in range(A.shape[0]):
-        AA = np.einsum("sik,tkj->stij", A[b], A[b]).reshape(4, 2, 2)
-        E = np.einsum("sik,sjl->ijkl", AA, AA.conj()).reshape(4, 4)
-        w, vv = np.linalg.eig(E)
-        r = vv[:, np.argmax(w.real)].reshape(2, 2)
-        r = (r + r.conj().T) / 2
-        r = r / np.trace(r)
         h = -np.kron(Z, Z) + gvals[b] / 2 * (np.kron(X, I2) + np.kron(I2, X))
-        out[b] = np.einsum("ts,sij,jk,tik->", h, AA, r, AA.conj()).real
+        out[b] = host_energy_d2(A[b], h)
     return out
 
 

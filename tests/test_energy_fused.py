@@ -23,6 +23,18 @@ def _e_ref_one(A, h):
     return jnp.einsum("ts,sij,jk,tik->", h.astype(A.dtype), AA, r, AA.conj()).real
 
 
+def test_host_energy_matches_jax_path():
+    """ham.classical_baselines.host_energy_d2 (the bench/probe validation
+    column) == the differentiable fixed-point path."""
+    from qmps_tpu.ham.classical_baselines import host_energy_d2
+
+    As, hs = _batch(3)
+    for b in range(3):
+        e_np = host_energy_d2(np.asarray(As[b]), np.asarray(hs[b]))
+        e_jx = float(_e_ref_one(As[b], hs[b]))
+        np.testing.assert_allclose(e_np, e_jx, atol=1e-12)
+
+
 def _batch(B=5):
     ks = jax.random.split(jax.random.PRNGKey(0), B)
     As = jnp.stack([iMPS.random(k, 2, 2).left_canonicalise()[0] for k in ks])
