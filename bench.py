@@ -215,12 +215,19 @@ def bench_sweep(n_points=1024, steps=300, restarts=4):
     gs = jnp.linspace(0.1, 2.0, n_points)
     exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
     out = {}
-    for tag, r in (("sweep", restarts), ("sweep_r1", 1)):
-        es, _ = sweep_ground_states(gs, D=2, steps=steps, restarts=r)  # compile
+    # headline suN row: 4 restarts + one adiabatic-continuation refine
+    # pass (both already-compiled program calls) — the accuracy bar is
+    # max error < 5e-3 with no post-hoc pass outside the workload itself
+    for tag, r, passes in (("sweep", restarts, 1), ("sweep_r1", 1, 0)):
+        es, _ = sweep_ground_states(
+            gs, D=2, steps=steps, restarts=r, refine_passes=passes
+        )  # compile
         es.block_until_ready()
         _readback_ok(es)
         t0 = time.perf_counter()
-        es, _ = sweep_ground_states(gs + 1e-3, D=2, steps=steps, restarts=r)
+        es, _ = sweep_ground_states(
+            gs + 1e-3, D=2, steps=steps, restarts=r, refine_passes=passes
+        )
         es.block_until_ready()
         dt = time.perf_counter() - t0
         err = np.asarray(es, np.float64) - exact

@@ -41,6 +41,22 @@ def main():
     print(f"max error vs exact integral: {err.max():.2e}; "
           f"all above exact: {bool((err > -1e-8).all())}")
 
+    # The fused Riemannian engine: same physics, two Pallas launches per
+    # optimizer step for the whole batch, no expm chart — measured 13.7x
+    # the suN path on one v5e (see docs/DESIGN.md)
+    from qmps_tpu.parallel.sweep import sweep_ground_states_fused
+
+    t0 = time.perf_counter()
+    es_f, _ = sweep_ground_states_fused(
+        gs, steps=300, restarts=2, chunk=50,
+        mesh=mesh, engine="pallas" if jax.default_backend() == "tpu" else "xla",
+    )
+    es_f.block_until_ready()
+    dt_f = time.perf_counter() - t0
+    err_f = np.asarray(es_f) - exact
+    print(f"fused engine: {dt_f:.2f}s ({n_points/dt_f:.1f} opts/s), "
+          f"max error {err_f.max():.2e}")
+
 
 if __name__ == "__main__":
     main()
