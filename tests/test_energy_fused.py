@@ -35,6 +35,10 @@ def test_host_energy_matches_jax_path():
         np.testing.assert_allclose(e_np, e_jx, atol=1e-12)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def _batch(B=5):
     ks = jax.random.split(jax.random.PRNGKey(0), B)
     As = jnp.stack([iMPS.random(k, 2, 2).left_canonicalise()[0] for k in ks])
@@ -84,6 +88,7 @@ def test_shared_h_broadcast_and_sum():
     np.testing.assert_allclose(np.asarray(g), np.asarray(gb), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_near_critical_gradient():
     """g ~ 1 states have subdominant transfer eigenvalues near 1 (long
     correlation length) — the log-time series must still converge where a
