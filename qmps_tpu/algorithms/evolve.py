@@ -451,7 +451,11 @@ def batched_quench_sweep(
 
     from ..parallel.mesh import shard_over_sweep
 
-    les = jax.jit(shard_over_sweep(jax.vmap(one_traj), mesh))(g1s, p0s)
+    fn = _cached_jit(
+        ("quench_dense", gate, inner_steps, lr, float(dt), n_steps, mesh),
+        lambda: jax.jit(shard_over_sweep(jax.vmap(one_traj), mesh)),
+    )
+    les = fn(g1s, p0s)
     times = jnp.arange(1, n_steps + 1) * dt
     return times, les
 
@@ -547,11 +551,13 @@ def batched_noise_sweep(
         return p_new, jnp.abs(ov) ** 2
 
     p0s = jnp.broadcast_to(params0, (ps_noise.shape[0],) + params0.shape)
-    step = jax.jit(shard_over_sweep(jax.vmap(one_step), mesh))
-
-    @jax.jit
-    def init_tensors(p0s):
-        return jax.vmap(u2t)(p0s)
+    step = _cached_jit(
+        ("noise_sweep_step", gate, inner_steps, lr, float(g1), float(dt), mesh),
+        lambda: jax.jit(shard_over_sweep(jax.vmap(one_step), mesh)),
+    )
+    init_tensors = _cached_jit(
+        ("u2t_batch", gate), lambda: jax.jit(lambda p0s: jax.vmap(u2t)(p0s))
+    )
 
     A0s = init_tensors(p0s)
     ps, les = p0s, []

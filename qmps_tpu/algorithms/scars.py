@@ -235,8 +235,12 @@ def quantum_poincare_sweep(
         return p
 
     from ..parallel.mesh import shard_over_sweep
+    from .evolve import _cached_jit
 
-    batch_step = jax.jit(shard_over_sweep(jax.vmap(one_step), mesh))
+    batch_step = _cached_jit(
+        ("scars_qstep", float(mu), float(dt), inner_steps, mesh),
+        lambda: jax.jit(shard_over_sweep(jax.vmap(one_step), mesh)),
+    )
     ps = jnp.asarray(y0s, jnp.float64)
     traj = [jnp.mod(ps, 2 * jnp.pi)]
     for _ in range(n_steps - 1):
