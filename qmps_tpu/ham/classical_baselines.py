@@ -171,8 +171,6 @@ def host_energy_d2(A, h) -> float:
     Mirrors objectives.energy.energy_exact_env from the tensor (verified
     to 1e-16 on CPU); dense numpy eig for the right fixed point.
     """
-    import numpy as np
-
     A = np.asarray(A).astype(np.complex128)
     AA = np.einsum("sik,tkj->stij", A, A).reshape(4, 2, 2)
     E = np.einsum("sik,sjl->ijkl", AA, AA.conj()).reshape(4, 4)

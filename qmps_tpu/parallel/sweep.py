@@ -190,6 +190,10 @@ def sweep_ground_states_fused(
         if len(_FUSED_SWEEP_CACHE) >= 16:  # bound: a hyperparameter scan
             _FUSED_SWEEP_CACHE.pop(next(iter(_FUSED_SWEEP_CACHE)))
         _FUSED_SWEEP_CACHE[cache_key] = fns
+    else:
+        # LRU, not FIFO: move the hit to the end so cycling through 16+
+        # configs doesn't evict the entry about to be reused
+        _FUSED_SWEEP_CACHE[cache_key] = _FUSED_SWEEP_CACHE.pop(cache_key)
     init, make_advance, finish = fns
 
     if chunk is None:
@@ -226,13 +230,19 @@ def _fused_sweep_programs(
         H = jnp.einsum("bji,bjk->bik", W.conj(), W)  # (B, 2, 2) PSD
         t = jnp.trace(H, axis1=-2, axis2=-1).real
         dt = (H[:, 0, 0] * H[:, 1, 1] - H[:, 0, 1] * H[:, 1, 0]).real
-        s = jnp.sqrt(jnp.maximum(dt, 0.0))
+        # SCALE-RELATIVE floor on det: an absolute 1e-30 floor lets a
+        # rank-deficient W amplify cancellation noise by ~1/det (1e25 in
+        # f32), overflowing the next step's H and NaN-poisoning the point
+        # anyway.  Flooring s at ~1e-6 of the trace instead yields a
+        # BOUNDED rank-1 factor (the null direction stays null, norms
+        # stay O(1)) from which descent can recover.
+        dt = jnp.maximum(dt, (1e-6 * t) ** 2)
+        s = jnp.sqrt(dt)
         # sqrt(H) = (H + s I)/sqrt(t + 2s); inv via 2x2 adjugate
         denom = jnp.sqrt(jnp.maximum(t + 2.0 * s, 1e-30))
         HsI = H + s[:, None, None] * jnp.eye(2, dtype=H.dtype)
-        # det(H + sI) is real for hermitian PSD H; guard the division like
-        # every other quotient here (a rank-deficient W would otherwise
-        # NaN-poison its sweep point for all remaining steps)
+        # det(H+sI) = dt + s t + s^2 >= s t ~ 1e-6 t^2 after the relative
+        # floor; the absolute floor below only backstops t = 0 (W = 0)
         detHsI = jnp.maximum(
             (HsI[:, 0, 0] * HsI[:, 1, 1] - HsI[:, 0, 1] * HsI[:, 1, 0]).real,
             1e-30,
