@@ -3,4 +3,5 @@ from .sweep import (  # noqa: F401
     multi_start_ground_state,
     phase_diagram_sweep,
     sweep_ground_states,
+    sweep_ground_states_fused,
 )
