@@ -8,6 +8,7 @@ the reference's Nelder-Mead behavior when requested.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -57,6 +58,49 @@ def n_params(ansatz: str, D: int, depth: int = 2) -> int:
     return per_layer * depth
 
 
+@functools.lru_cache(maxsize=None)
+def _gs_program(ansatz: str, D: int, method: str, steps: int):
+    """One compiled optimize-and-finalize program per configuration.
+
+    The Hamiltonian matrix rides as a traced argument, so every H of the
+    same shape/dtype — each g of a phase scan, TFIM and XY alike — reuses
+    one executable, and the final energy/U/A are computed inside the same
+    program (a fresh loss closure per call would recompile the whole
+    optimizer scan each time, plus two extra jits for the finalize)."""
+    import optax
+
+    build = _ansatz_builder(ansatz, D)
+
+    def loss(p, h):
+        return energy_exact_env(build(p), h)
+
+    if method == "adam":
+        sched = optax.cosine_decay_schedule(1e-2, steps, alpha=0.05)
+        opt = optax.adam(sched)
+    else:
+        opt = optax.lbfgs()
+    vg = jax.value_and_grad(loss)
+
+    @jax.jit
+    def run(x0, h):
+        def step(carry, _):
+            x, s = carry
+            v, g = vg(x, h)
+            if method == "lbfgs":
+                up, s = opt.update(
+                    g, s, x, value=v, grad=g, value_fn=lambda x_: loss(x_, h)
+                )
+            else:
+                up, s = opt.update(g, s)
+            return (optax.apply_updates(x, up), s), v
+
+        (x, _), hist = jax.lax.scan(step, (x0, opt.init(x0)), None, length=steps)
+        U = build(x)
+        return x, hist, loss(x, h), U, unitary_to_tensor(U)
+
+    return run
+
+
 def find_ground_state(
     H,
     D: int = 2,
@@ -74,10 +118,18 @@ def find_ground_state(
     method in {'adam', 'lbfgs', 'rotosolve', 'Nelder-Mead', 'Powell', ...}.
     """
     h = as_host_matrix(H)
-    build = _ansatz_builder(ansatz, D)
     if initial_guess is None:
         key = jax.random.PRNGKey(0) if key is None else key
         initial_guess = jax.random.normal(key, (n_params(ansatz, D, depth),)) * 0.5
+
+    if method in ("adam", "lbfgs"):
+        run = _gs_program(ansatz, D, method, steps)
+        x, hist, e, U, A = run(initial_guess, jnp.asarray(h))
+        return GroundStateResult(
+            params=x, energy=float(e), history=hist, U=U, A=A
+        )
+
+    build = _ansatz_builder(ansatz, D)
 
     def loss(p):
         return energy_exact_env(build(p), h)

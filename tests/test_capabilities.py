@@ -138,7 +138,7 @@ class TestNoisyEvolution:
     def test_noisy_stepper_runs(self):
         from qmps_tpu.algorithms import find_ground_state
 
-        gs = find_ground_state(tfim(1.0), D=2, ansatz="full15", method="lbfgs", steps=80)
+        gs = find_ground_state(tfim(1.0), D=2, ansatz="full15", method="lbfgs", steps=150)
         ev = NoisyMPSTimeEvolve(tfim(1.0), dt=0.05, depolarizing_prob=1e-3, inner_steps=30)
         rec = ev.evolve(gs.params, 2)
         assert np.all(np.isfinite(np.asarray(rec.loschmidt)))

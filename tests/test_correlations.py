@@ -124,7 +124,7 @@ def test_truncation():
     assert abs(float(w) - 1) < 1e-10
     assert abs(abs(complex(same.overlap(psi))) - 1) < 1e-8
 
-    gs4 = find_ground_state(tfim(1.0), D=4, ansatz="suN", method="lbfgs", steps=250)
+    gs4 = find_ground_state(tfim(1.0), D=4, ansatz="suN", method="lbfgs", steps=150)
     psi2, w2 = iMPS([gs4.A]).truncated(2)
     assert psi2.D == 2 and 0.9 < float(w2) <= 1.0 + 1e-12
     h = jnp.asarray(tfim(1.0).to_matrix())

@@ -14,7 +14,7 @@ from qmps_tpu.mps.tdvp import Trajectory
 
 @pytest.mark.slow
 def test_ground_state_stationary_under_evolution():
-    gs = find_ground_state(tfim(1.0), D=2, ansatz="full15", method="lbfgs", steps=250)
+    gs = find_ground_state(tfim(1.0), D=2, ansatz="full15", method="lbfgs", steps=150)
     ev = MPSTimeEvolve(tfim(1.0), dt=0.02, inner_steps=60)
     rec = ev.evolve(gs.params, 4)
     assert np.all(np.asarray(rec.loschmidt) > 0.995)

@@ -44,12 +44,14 @@ def test_arnoldi_near_degenerate(rng, gap_ratio):
     the restarted Arnoldi resolves the dominant pair because both
     near-degenerate vectors enter the Krylov space.
     """
-    n = 1024
+    # gap 0.5 is the fast-suite smoke row: a smaller problem keeps the
+    # one-CPU compile cheap; the hard 0.99/0.999 rows stay at n = 1024
+    n, k, restarts = (1024, 48, 4) if gap_ratio > 0.9 else (256, 24, 2)
     M, v_true = _random_matrix_with_gap(rng, n, gap_ratio)
     M = jnp.asarray(M)
     v0 = jnp.asarray(rng.normal(size=(n,)) + 0j)
     lam, v = jax.jit(
-        lambda v0: dominant_eigpair_arnoldi(lambda x: M @ x, v0, k=48, restarts=4)
+        lambda v0: dominant_eigpair_arnoldi(lambda x: M @ x, v0, k=k, restarts=restarts)
     )(v0)
     assert abs(complex(lam) - 1.0) < 1e-9
     residual = np.linalg.norm(M @ v - lam * v)

@@ -154,10 +154,10 @@ class TestXYLadder:
         from qmps_tpu.ham import xy, xy_gs_energy
 
         e_exact = xy_gs_energy()
-        gs2 = find_ground_state(xy(), D=2, ansatz="suN", method="lbfgs", steps=200, key=key)
+        gs2 = find_ground_state(xy(), D=2, ansatz="suN", method="lbfgs", steps=150, key=key)
         v4 = lie.embed_su_params(np.asarray(gs2.params), eps=1e-3)
         gs4 = find_ground_state(
-            xy(), D=4, ansatz="suN", method="lbfgs", steps=200,
+            xy(), D=4, ansatz="suN", method="lbfgs", steps=150,
             initial_guess=jnp.asarray(v4),
         )
         assert gs2.energy >= e_exact - 1e-6

@@ -191,7 +191,7 @@ def test_tdvp_objective_pallas_D4_forward(key):
         ]
     )
     W = np.asarray(sla.expm(-1j * 0.1 * np.asarray(tfim(1.0).to_matrix())))
-    vals_p = tdvp_objective_pallas(As, Bs, W, iters=32, interpret=True)
+    vals_p = tdvp_objective_pallas(As, Bs, W, iters=16, interpret=True)
     vals_d = jax.vmap(lambda a, b: tdvp_objective(a, b, W))(As, Bs)
     np.testing.assert_allclose(np.asarray(vals_p), np.asarray(vals_d), atol=5e-6)
 
@@ -200,7 +200,7 @@ def test_power_kernel_padding(key):
     """Batch not a multiple of the tile: identity padding is dropped."""
     B = 5
     E = np.asarray(physical_batch(B, key)).astype(np.complex64)
-    lam, v = dominant_eig_batched(jnp.asarray(E), iters=16, interpret=True)
+    lam, v = dominant_eig_batched(jnp.asarray(E), iters=10, interpret=True)
     assert lam.shape == (B,)
     for b in range(B):
         w = np.linalg.eigvals(E[b].astype(np.complex128))

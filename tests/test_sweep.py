@@ -9,7 +9,10 @@ from qmps_tpu.ham import tfim_gs_energy
 from qmps_tpu.parallel import make_mesh, phase_diagram_sweep, sweep_ground_states
 
 
+@pytest.mark.slow
 def test_vmapped_sweep_energies():
+    """Slow suite: test_refine_passes_only_improve asserts the same
+    accuracy bar through the same call path in the fast half."""
     gs = jnp.linspace(0.2, 2.0, 8)
     es, params = sweep_ground_states(gs, D=2, steps=250)
     exact = np.asarray(tfim_gs_energy(gs))
@@ -92,14 +95,17 @@ def test_fused_sweep_smoke():
     finite energies, left-canonical returned tensors, restart reduction."""
     from qmps_tpu.parallel.sweep import sweep_ground_states_fused
 
-    gs = jnp.linspace(0.5, 1.5, 4)
+    # same shapes/steps as test_fused_sweep_sharded_matches_unsharded so
+    # the two tests share every compiled program (the sweep cache keys on
+    # (engine, steps-chunking, mesh) and jit retraces on the point count)
+    gs = jnp.linspace(0.5, 1.5, 8)
     # engine="xla": the sweep wrapper logic (projection, polar retraction,
     # chunking, restart reduction) without the interpret-mode kernel
     # compile; the pallas engine is covered by the slow test + on-chip
     es, As = sweep_ground_states_fused(
-        gs, steps=25, restarts=2, chunk=10, engine="xla"
+        gs, steps=20, restarts=2, chunk=10, engine="xla"
     )
-    assert es.shape == (4,) and As.shape == (4, 2, 2, 2)
+    assert es.shape == (8,) and As.shape == (8, 2, 2, 2)
     assert np.all(np.isfinite(np.asarray(es)))
     A = np.asarray(As)
     lc = np.einsum("bsik,bsij->bkj", A.conj(), A)

@@ -32,7 +32,7 @@ def test_ground_state_is_stationary():
     """On the variational GS the physical tangent dAC - AL dC vanishes
     (up to the optimizer's own convergence)."""
     h = tfim(1.0).to_matrix()
-    gs = find_ground_state(tfim(1.0), D=2, ansatz="suN", method="lbfgs", steps=200)
+    gs = find_ground_state(tfim(1.0), D=2, ansatz="suN", method="lbfgs", steps=150)
     AL, AR, C = mixed_gauge(gs.A)
     dAC, dC, e = dAC_dC_dt(AL, AR, C, h)
     proj = dAC - jnp.einsum("sij,jk->sik", AL, dC)

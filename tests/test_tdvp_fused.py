@@ -69,9 +69,12 @@ def _W_batch(key, B):
     return jnp.stack([_W(k) for k in ks])
 
 
+@pytest.mark.slow
 def test_fused_forward_batched_W_matches_unfused():
     """Per-trajectory (B, 4, 4) gates (the MC-trajectory / per-time-slice
-    path): every element agrees with its own unfused objective."""
+    path): every element agrees with its own unfused objective.  Slow
+    suite: the interpret-mode batched-W trace is ~10 s on one CPU and the
+    batched-W gradient test below covers the same kernel face."""
     As, Bs = _batch(jax.random.PRNGKey(7), B=3)
     Ws = _W_batch(jax.random.PRNGKey(8), 3)
     got = tdvp_objective_fused(As, Bs, Ws, 8, True)  # interpret mode
