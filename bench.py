@@ -318,6 +318,33 @@ def bench_gs_large_D(D, steps=200):
     }
 
 
+def bench_gs_deep_brickwork(D, steps=200, depth=None):
+    """BASELINE config 5 (brick-wall leg): deep-brickwork TFIM ground
+    state at D — depth-n wall of SU(4) KAK bricks through the shared
+    environment solvers (dense squaring <= D=32 on TPU, Krylov above).
+    Timed over a second, recompile-free run; reported energies are the
+    returned states'."""
+    from qmps_tpu.algorithms import ground_state_deep_brickwork
+    from qmps_tpu.ham import tfim, tfim_gs_energy
+
+    H = tfim(1.0)
+    gs = ground_state_deep_brickwork(
+        H, D=D, depth=depth, steps=steps, key=jax.random.PRNGKey(1)
+    )  # compile + converge
+    _readback_ok(np.asarray(gs.history)[-4:])
+    t0 = time.perf_counter()
+    gs2 = ground_state_deep_brickwork(
+        H, D=D, depth=depth, steps=steps, key=jax.random.PRNGKey(2)
+    )
+    dt = time.perf_counter() - t0
+    assert np.all(np.isfinite(np.asarray(gs2.history)))
+    err = min(gs.energy, gs2.energy) - float(tfim_gs_energy(1.0))
+    return {
+        f"gs_deep_bw_steps_per_sec_D{D}": round(steps / dt, 2),
+        f"gs_deep_bw_energy_error_D{D}": float(err),
+    }
+
+
 def main():
     ladder = {}
     evals_per_sec, evals_per_sec_xla, win_pal, win_xla = bench_overlap_throughput()
@@ -343,6 +370,12 @@ def main():
     # Set QMPS_BENCH_SKIP_D64=1 to skip under a tight driver timeout.
     if not os.environ.get("QMPS_BENCH_SKIP_D64"):
         ladder.update(bench_gs_large_D(64, steps=150))
+    # config-5 brick-wall leg: deep-brickwork ansatz at D=32 (dense MXU
+    # env regime; the D=64 Krylov-regime row shares the skip flag since
+    # its first compile is comparable to riemann-D64's ~4 min)
+    ladder.update(bench_gs_deep_brickwork(32, steps=200))
+    if not os.environ.get("QMPS_BENCH_SKIP_D64"):
+        ladder.update(bench_gs_deep_brickwork(64, steps=100))
     print(
         json.dumps(
             {

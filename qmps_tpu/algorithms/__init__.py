@@ -8,6 +8,7 @@ from .ground_state import (  # noqa: F401
     NonSparseFullTwoSiteEnergyOptimizer,
     SparseFullEnergyOptimizer,
     find_ground_state,
+    ground_state_deep_brickwork,
 )
 from .evolve import (  # noqa: F401
     MPSTimeEvolve,

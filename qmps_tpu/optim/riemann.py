@@ -77,6 +77,27 @@ def stiefel_minimize(
     return run(V0)
 
 
+def isometry_energy(V, h, D: int, dense: bool, power_iters: int = 120):
+    """Energy density of the uMPS whose tensor is the (dD, D) isometry V.
+
+    Rows of V are indexed (i, s) — V.reshape(D, d, D) gives A[s, i, j]
+    after a transpose — matching ``unitary_to_tensor``'s column slice.
+    The environment fixed point is dense repeated-squaring when ``dense``
+    else the matvec Krylov path (restarted Arnoldi + GMRES adjoint).
+    Shared by the direct Stiefel optimizer below and the deep-brickwork
+    ansatz (algorithms/ground_state.ground_state_deep_brickwork)."""
+    from ..mps import transfer as tr
+    from ..mps.imps import merge
+
+    d = 2
+    A = V.reshape(D, d, D).transpose(1, 0, 2)  # iso rows (i, s) -> (s, i, j)
+    _, r = tr.right_fixed_point(A, A, dense=dense, iters=40 if dense else power_iters)
+    r = (r + cT(r)) / 2
+    r = r / jnp.trace(r)
+    A2 = merge(A, A)
+    return jnp.einsum("ts,sij,jk,tik->", h.astype(A.dtype), A2, r, A2.conj()).real
+
+
 def ground_state_riemannian(
     h: jnp.ndarray,
     D: int,
@@ -104,8 +125,6 @@ def ground_state_riemannian(
     """
     if dense_env_max_D is None:
         dense_env_max_D = 32 if jax.default_backend() == "tpu" else 8
-    from ..mps import transfer as tr
-    from ..mps.imps import merge
 
     d = 2
     key = jax.random.PRNGKey(0) if key is None else key
@@ -129,12 +148,7 @@ def ground_state_riemannian(
     dense = D <= dense_env_max_D
 
     def energy(V):
-        A = V.reshape(D, d, D).transpose(1, 0, 2)  # iso rows (i, s) -> (s, i, j)
-        _, r = tr.right_fixed_point(A, A, dense=dense, iters=40 if dense else power_iters)
-        r = (r + cT(r)) / 2
-        r = r / jnp.trace(r)
-        A2 = merge(A, A)
-        return jnp.einsum("ts,sij,jk,tik->", h.astype(A.dtype), A2, r, A2.conj()).real
+        return isometry_energy(V, h, D, dense, power_iters)
 
     V, hist = stiefel_minimize(energy, V0, steps=steps, lr=lr)
     A = V.reshape(D, d, D).transpose(1, 0, 2)

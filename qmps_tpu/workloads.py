@@ -276,6 +276,42 @@ class LargeDConfig:
         }
 
 
+@dataclasses.dataclass
+class DeepBrickworkConfig:
+    """Config 5 (brick-wall leg): deep-brickwork uMPS ground state at
+    D = 32-64 — depth-n wall of SU(4) KAK bricks, parameter count
+    ~depth*n*19 instead of (2D)^2, through the same two environment
+    regimes as LargeDConfig (algorithms/ground_state.py:
+    ground_state_deep_brickwork; circuits/brickwork_deep.py)."""
+
+    g: float = 1.0
+    D: int = 32
+    steps: int = 300
+    depth: int | None = None
+
+    def run(self) -> dict:
+        from .algorithms import ground_state_deep_brickwork
+        from .ham import tfim, tfim_gs_energy
+
+        t0 = time.perf_counter()
+        gs = ground_state_deep_brickwork(
+            tfim(self.g), D=self.D, depth=self.depth, steps=self.steps,
+            key=jax.random.PRNGKey(1),
+        )
+        dt = time.perf_counter() - t0
+        h_np = np.asarray(gs.history)
+        assert np.all(np.isfinite(h_np))
+        e_exact = float(tfim_gs_energy(self.g))
+        return {
+            "energy": gs.energy,  # the returned state's energy
+            "exact": e_exact,
+            "error": gs.energy - e_exact,
+            "n_params": int(np.asarray(gs.params).size),
+            "seconds": dt,
+            "steps_per_sec": self.steps / dt,
+        }
+
+
 CONFIG_LADDER = (
     GroundStateConfig(D=2),
     GroundStateConfig(D=4),
@@ -285,6 +321,7 @@ CONFIG_LADDER = (
     BrickworkConfig(),
     LargeDConfig(D=32),
     LargeDConfig(D=64),
+    DeepBrickworkConfig(D=32),
 )
 
 
