@@ -373,9 +373,9 @@ def main():
     # config-5 brick-wall leg: deep-brickwork ansatz at D=32 (dense MXU
     # env regime; the D=64 Krylov-regime row shares the skip flag since
     # its first compile is comparable to riemann-D64's ~4 min)
-    ladder.update(bench_gs_deep_brickwork(32, steps=200))
+    ladder.update(bench_gs_deep_brickwork(32, steps=500))
     if not os.environ.get("QMPS_BENCH_SKIP_D64"):
-        ladder.update(bench_gs_deep_brickwork(64, steps=100))
+        ladder.update(bench_gs_deep_brickwork(64, steps=300))
     print(
         json.dumps(
             {

@@ -66,13 +66,16 @@ def _gs_program(ansatz: str, D: int, method: str, steps: int):
     same shape/dtype — each g of a phase scan, TFIM and XY alike — reuses
     one executable, and the final energy/U/A are computed inside the same
     program (a fresh loss closure per call would recompile the whole
-    optimizer scan each time, plus two extra jits for the finalize)."""
+    optimizer scan each time, plus two extra jits for the finalize).
+    H crosses the host->device boundary as float real/imag planes and is
+    assembled with lax.complex in-program: complex H2D transfer fails
+    SILENTLY on the axon TPU backend (docs/DESIGN.md rule 1)."""
     import optax
 
     build = _ansatz_builder(ansatz, D)
 
-    def loss(p, h):
-        return energy_exact_env(build(p), h)
+    def loss(p, hre, him):
+        return energy_exact_env(build(p), jax.lax.complex(hre, him))
 
     if method == "adam":
         sched = optax.cosine_decay_schedule(1e-2, steps, alpha=0.05)
@@ -82,13 +85,14 @@ def _gs_program(ansatz: str, D: int, method: str, steps: int):
     vg = jax.value_and_grad(loss)
 
     @jax.jit
-    def run(x0, h):
+    def run(x0, hre, him):
         def step(carry, _):
             x, s = carry
-            v, g = vg(x, h)
+            v, g = vg(x, hre, him)
             if method == "lbfgs":
                 up, s = opt.update(
-                    g, s, x, value=v, grad=g, value_fn=lambda x_: loss(x_, h)
+                    g, s, x, value=v, grad=g,
+                    value_fn=lambda x_: loss(x_, hre, him),
                 )
             else:
                 up, s = opt.update(g, s)
@@ -96,9 +100,20 @@ def _gs_program(ansatz: str, D: int, method: str, steps: int):
 
         (x, _), hist = jax.lax.scan(step, (x0, opt.init(x0)), None, length=steps)
         U = build(x)
-        return x, hist, loss(x, h), U, unitary_to_tensor(U)
+        return x, hist, loss(x, hre, him), U, unitary_to_tensor(U)
 
     return run
+
+
+def _h_planes(h):
+    """Host float real/imag planes of a Hamiltonian matrix (the axon-safe
+    H2D form; dtypes canonicalize with the x64 flag)."""
+    import numpy as np
+
+    h = np.asarray(h)
+    return jnp.asarray(np.ascontiguousarray(h.real)), jnp.asarray(
+        np.ascontiguousarray(h.imag)
+    )
 
 
 def find_ground_state(
@@ -124,7 +139,7 @@ def find_ground_state(
 
     if method in ("adam", "lbfgs"):
         run = _gs_program(ansatz, D, method, steps)
-        x, hist, e, U, A = run(initial_guess, jnp.asarray(h))
+        x, hist, e, U, A = run(initial_guess, *_h_planes(h))
         return GroundStateResult(
             params=x, energy=float(e), history=hist, U=U, A=A
         )
@@ -463,33 +478,42 @@ class NonSparseFullTwoSiteEnergyOptimizer(_OptimizerBase):
 @functools.lru_cache(maxsize=None)
 def _deep_bw_program(D: int, depth: int, steps: int, dense: bool,
                      power_iters: int, lr: float):
-    """Compiled adam-over-brick-params program, H traced (one executable
-    per configuration — same cache pattern as _gs_program above)."""
+    """Compiled adam-over-brick-params program, H traced as float planes
+    (one executable per configuration — same cache pattern and axon-safe
+    H2D form as _gs_program above)."""
     import optax
 
-    from ..circuits.brickwork_deep import brick_wall_tensor
+    from ..circuits.brickwork_deep import (
+        _n_qubits,
+        brick_wall_tensor,
+        brick_wall_unitary,
+    )
     from ..optim.riemann import isometry_energy
 
-    def loss(p, h):
+    n = _n_qubits(D)
+
+    def loss(p, hre, him):
         A = brick_wall_tensor(p, D, depth)
         V = A.transpose(1, 0, 2).reshape(2 * D, D)  # rows (i, s)
-        return isometry_energy(V, h, D, dense, power_iters)
+        return isometry_energy(V, jax.lax.complex(hre, him), D, dense, power_iters)
 
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
     opt = optax.adam(sched)
     vg = jax.value_and_grad(loss)
 
     @jax.jit
-    def run(x0, h):
+    def run(x0, hre, him):
         def step(carry, _):
             x, s = carry
-            v, g = vg(x, h)
+            v, g = vg(x, hre, him)
             up, s = opt.update(g, s)
             return (optax.apply_updates(x, up), s), v
 
         (x, _), hist = jax.lax.scan(step, (x0, opt.init(x0)), None, length=steps)
-        e = loss(x, h)  # the RETURNED state's energy, never best-of-history
-        return x, jnp.concatenate([hist, e[None]]), e, brick_wall_tensor(x, D, depth)
+        e = loss(x, hre, him)  # the RETURNED state's energy, never best-of-history
+        # finalize U and A in-program: eager complex ops fail on axon
+        U = brick_wall_unitary(x, n, depth)
+        return x, jnp.concatenate([hist, e[None]]), e, U, unitary_to_tensor(U)
 
     return run
 
@@ -517,11 +541,7 @@ def ground_state_deep_brickwork(
     Returns a GroundStateResult whose ``energy`` is evaluated at the
     returned parameters.
     """
-    from ..circuits.brickwork_deep import (
-        _n_qubits,
-        brick_wall_unitary,
-        n_brick_params,
-    )
+    from ..circuits.brickwork_deep import _n_qubits, n_brick_params
 
     h = as_host_matrix(H)
     n = _n_qubits(D)
@@ -538,8 +558,5 @@ def ground_state_deep_brickwork(
         dense_env_max_D = 32 if jax.default_backend() == "tpu" else 8
     dense = D <= dense_env_max_D
     run = _deep_bw_program(D, depth, steps, dense, power_iters, lr)
-    x, hist, e, A = run(jnp.asarray(initial_guess), jnp.asarray(h))
-    return GroundStateResult(
-        params=x, energy=float(e), history=hist,
-        U=brick_wall_unitary(x, n, depth), A=A,
-    )
+    x, hist, e, U, A = run(jnp.asarray(initial_guess), *_h_planes(h))
+    return GroundStateResult(params=x, energy=float(e), history=hist, U=U, A=A)
