@@ -318,6 +318,38 @@ def bench_gs_large_D(D, steps=200):
     }
 
 
+def bench_sweep_deep_bw(n_points=1024, steps=300, D=8):
+    """Config 4 beyond D=2: the 1024-point phase sweep through the
+    brick-wall ansatz at D=8 (parallel/sweep.py 'deep_bw') with one
+    adiabatic-continuation refine pass — vmapped on one chip here; the
+    mesh path shards the same program linearly (collectives-free DP,
+    tests/test_sweep.py identities)."""
+    from qmps_tpu.ham import tfim_gs_energy
+    from qmps_tpu.parallel import sweep_ground_states
+
+    gs = jnp.linspace(0.1, 2.0, n_points)
+    exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
+    es, _ = sweep_ground_states(
+        gs, D=D, ansatz="deep_bw", steps=steps, refine_passes=1
+    )  # compile
+    es.block_until_ready()
+    _readback_ok(es)
+    t0 = time.perf_counter()
+    es, _ = sweep_ground_states(
+        gs + 1e-3, D=D, ansatz="deep_bw", steps=steps, refine_passes=1
+    )
+    es.block_until_ready()
+    dt = time.perf_counter() - t0
+    err = np.asarray(es, np.float64) - exact
+    assert np.all(np.isfinite(err))
+    return {
+        f"sweep_deep_bw_D{D}_1024_points_seconds": round(dt, 3),
+        f"sweep_deep_bw_D{D}_opts_per_sec": round(n_points / dt, 1),
+        f"sweep_deep_bw_D{D}_median_error": float(np.median(err)),
+        f"sweep_deep_bw_D{D}_max_error": float(np.max(err)),
+    }
+
+
 def bench_gs_deep_brickwork(D, steps=200, depth=None):
     """BASELINE config 5 (brick-wall leg): deep-brickwork TFIM ground
     state at D — depth-n wall of SU(4) KAK bricks through the shared
@@ -357,6 +389,7 @@ def main():
     ladder.update(bench_tdvp_objective())
     ladder.update(bench_sweep())
     ladder.update(bench_sweep_fused())
+    ladder.update(bench_sweep_deep_bw())
     # like-for-like single-chain D=2 row (same measurement as D=8/32/64);
     # the batched-sweep throughput stays under its own distinct key
     ladder.update(bench_gs_large_D(2, steps=300))

@@ -81,6 +81,20 @@ def sweep_ground_states(
     if ansatz == "suN":
         build = lambda p: ansatze.full_state_suN(p, D)
         n_params = (2 * D) ** 2 - 1
+    elif ansatz == "deep_bw":
+        # brick-wall MPS unitary (circuits/brickwork_deep.py): depth-(n+1)
+        # wall of SU(4) KAK bricks — ~depth*n*19 params instead of (2D)^2,
+        # the chart-free large-D sweep engine (BASELINE config 4 at D > 2)
+        from ..circuits.brickwork_deep import (
+            _n_qubits,
+            brick_wall_unitary,
+            n_brick_params,
+        )
+
+        nq = _n_qubits(D)
+        depth = nq + 1
+        build = lambda p: brick_wall_unitary(p, nq, depth)
+        n_params = n_brick_params(nq, depth)
     elif ansatz == "full15":
         build = ansatze.shallow_full_state
         n_params = 15

@@ -88,3 +88,16 @@ def test_ground_state_D8_krylov_path():
     e_exact = float(tfim_gs_energy(0.8))
     assert gs.energy >= e_exact - 1e-6
     assert gs.energy - e_exact < 2e-3
+
+
+def test_sweep_deep_bw_ansatz():
+    """Config-4 sweep through the brick-wall ansatz at D=4: vmapped
+    points track the exact integral (parallel/sweep.py 'deep_bw')."""
+    from qmps_tpu.parallel import sweep_ground_states
+
+    gs = jnp.linspace(0.4, 1.6, 6)
+    es, params = sweep_ground_states(gs, D=4, ansatz="deep_bw", steps=200)
+    exact = np.asarray(tfim_gs_energy(np.asarray(gs, np.float64)))
+    err = np.asarray(es, np.float64) - exact
+    assert np.all(err > -1e-6)  # variational
+    assert np.max(err) < 5e-3
