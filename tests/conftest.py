@@ -23,6 +23,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# The suite is compile-bound on one CPU core.  A persistent compilation
+# cache makes every run after the first start warm (driver re-runs, local
+# iteration); correctness is unaffected — XLA keys the cache on the full
+# HLO + flags.  Override the location with JAX_TEST_CACHE_DIR; disable
+# with JAX_TEST_CACHE_DIR=off.
+_cache_dir = os.environ.get(
+    "JAX_TEST_CACHE_DIR", os.path.expanduser("~/.cache/qmps_tpu_test_xla")
+)
+if _cache_dir != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

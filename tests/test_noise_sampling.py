@@ -102,7 +102,7 @@ class TestSampling:
         psi = state_circuit_psi(U, V, 2)
         e_exact = float(energy_circuit(U, tfim(1.0).to_matrix(), V))
         e_sampled = float(
-            measure_energy(jax.random.PRNGKey(2), H.strings, psi, qubits=(1, 2), shots=300000)
+            measure_energy(jax.random.PRNGKey(2), H.strings, psi, qubits=(1, 2), shots=100000)
         )
         assert abs(e_exact - e_sampled) < 5e-2
 
@@ -110,9 +110,11 @@ class TestSampling:
         U = random_unitary(key, 4)
         V = get_env_exact(U)
         # exact env: sampled trace distance ~ 0 within shot noise
-        td = float(sampled_trace_distance(jax.random.PRNGKey(3), U, V, shots=200000))
+        # 6e4 shots: per-component shot noise ~4e-3, >4 sigma inside both
+        # margins below (was 2e5 — the extra shots only bought wall time)
+        td = float(sampled_trace_distance(jax.random.PRNGKey(3), U, V, shots=60000))
         assert td < 2e-2
         # wrong env: clearly nonzero
         V_bad = random_unitary(jax.random.PRNGKey(9), 4)
-        td_bad = float(sampled_trace_distance(jax.random.PRNGKey(4), U, V_bad, shots=200000))
+        td_bad = float(sampled_trace_distance(jax.random.PRNGKey(4), U, V_bad, shots=60000))
         assert td_bad > td + 5e-2

@@ -35,7 +35,7 @@ def _W(key):
 
 
 def test_fused_forward_matches_unfused():
-    As, Bs = _batch(jax.random.PRNGKey(0), B=4)
+    As, Bs = _batch(jax.random.PRNGKey(0), B=2)
     W = _W(jax.random.PRNGKey(1))
     got = tdvp_objective_fused(As, Bs, W, 8, True)  # interpret mode
     want = jax.vmap(lambda a, b: tdvp_objective(a, b, W))(As, Bs)
