@@ -55,6 +55,10 @@ def _cached_jit(key, builder):
         if len(_JIT_CACHE) >= _JIT_CACHE_MAX:
             _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
         fn = _JIT_CACHE[key] = builder()
+    else:
+        # LRU, not FIFO: promote the hit so a scan cycling through >64
+        # configs doesn't evict the entry about to be reused
+        _JIT_CACHE[key] = _JIT_CACHE.pop(key)
     return fn
 
 

@@ -58,7 +58,35 @@ def n_params(ansatz: str, D: int, depth: int = 2) -> int:
     return per_layer * depth
 
 
-@functools.lru_cache(maxsize=None)
+def _opt_scan_core(loss, opt, steps, lbfgs=False):
+    """(x0, hre, him) -> (x, hist, e_final): the optimize-and-evaluate scan
+    shared by every compiled ground-state program below.  hist carries the
+    per-step pre-update losses; e_final is the RETURNED state's energy
+    (never best-of-history)."""
+    import optax
+
+    vg = jax.value_and_grad(loss)
+
+    def core(x0, hre, him):
+        def step(carry, _):
+            x, s = carry
+            v, g = vg(x, hre, him)
+            if lbfgs:
+                up, s = opt.update(
+                    g, s, x, value=v, grad=g,
+                    value_fn=lambda x_: loss(x_, hre, him),
+                )
+            else:
+                up, s = opt.update(g, s)
+            return (optax.apply_updates(x, up), s), v
+
+        (x, _), hist = jax.lax.scan(step, (x0, opt.init(x0)), None, length=steps)
+        return x, hist, loss(x, hre, him)
+
+    return core
+
+
+@functools.lru_cache(maxsize=32)
 def _gs_program(ansatz: str, D: int, method: str, steps: int):
     """One compiled optimize-and-finalize program per configuration.
 
@@ -82,25 +110,13 @@ def _gs_program(ansatz: str, D: int, method: str, steps: int):
         opt = optax.adam(sched)
     else:
         opt = optax.lbfgs()
-    vg = jax.value_and_grad(loss)
+    core = _opt_scan_core(loss, opt, steps, lbfgs=(method == "lbfgs"))
 
     @jax.jit
     def run(x0, hre, him):
-        def step(carry, _):
-            x, s = carry
-            v, g = vg(x, hre, him)
-            if method == "lbfgs":
-                up, s = opt.update(
-                    g, s, x, value=v, grad=g,
-                    value_fn=lambda x_: loss(x_, hre, him),
-                )
-            else:
-                up, s = opt.update(g, s)
-            return (optax.apply_updates(x, up), s), v
-
-        (x, _), hist = jax.lax.scan(step, (x0, opt.init(x0)), None, length=steps)
+        x, hist, e = core(x0, hre, him)
         U = build(x)
-        return x, hist, loss(x, hre, him), U, unitary_to_tensor(U)
+        return x, hist, e, U, unitary_to_tensor(U)
 
     return run
 
@@ -475,7 +491,7 @@ class NonSparseFullTwoSiteEnergyOptimizer(_OptimizerBase):
 # -- deep brickwork (BASELINE config 5: D = 32-64 brick-wall uMPS) -----------
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _deep_bw_program(D: int, depth: int, steps: int, dense: bool,
                      power_iters: int, lr: float):
     """Compiled adam-over-brick-params program, H traced as float planes
@@ -499,18 +515,11 @@ def _deep_bw_program(D: int, depth: int, steps: int, dense: bool,
 
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
     opt = optax.adam(sched)
-    vg = jax.value_and_grad(loss)
+    core = _opt_scan_core(loss, opt, steps)
 
     @jax.jit
     def run(x0, hre, him):
-        def step(carry, _):
-            x, s = carry
-            v, g = vg(x, hre, him)
-            up, s = opt.update(g, s)
-            return (optax.apply_updates(x, up), s), v
-
-        (x, _), hist = jax.lax.scan(step, (x0, opt.init(x0)), None, length=steps)
-        e = loss(x, hre, him)  # the RETURNED state's energy, never best-of-history
+        x, hist, e = core(x0, hre, him)
         # finalize U and A in-program: eager complex ops fail on axon
         U = brick_wall_unitary(x, n, depth)
         return x, jnp.concatenate([hist, e[None]]), e, U, unitary_to_tensor(U)

@@ -276,7 +276,7 @@ class LargeDConfig:
         }
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class DeepBrickworkConfig:
     """Config 5 (brick-wall leg): deep-brickwork uMPS ground state at
     D = 32-64 — depth-n wall of SU(4) KAK bricks, parameter count
