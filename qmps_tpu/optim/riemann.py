@@ -13,6 +13,7 @@ new_tdvp/loschmidt_classical.py:133-136).
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -98,6 +99,131 @@ def isometry_energy(V, h, D: int, dense: bool, power_iters: int = 120):
     return jnp.einsum("ts,sij,jk,tik->", h.astype(A.dtype), A2, r, A2.conj()).real
 
 
+def isometry_energy_warm(V, h, D: int, r0, iters: int = 24):
+    """(energy, r): ``isometry_energy`` with environment recycling — the
+    fixed point is warm-started at r0 (the previous optimizer step's
+    environment) via ``transfer.right_eigpair_warm`` instead of being
+    rebuilt from scratch.  The returned r is unit-Frobenius, fed back as
+    the next step's r0 (stop-gradient it at the call site)."""
+    from ..mps import transfer as tr
+    from ..mps.imps import merge
+
+    d = 2
+    A = V.reshape(D, d, D).transpose(1, 0, 2)
+    _, r = tr.right_eigpair_warm(A, A, r0, iters)
+    rh = (r + cT(r)) / 2
+    rh = rh / jnp.trace(rh)
+    A2 = merge(A, A)
+    e = jnp.einsum("ts,sij,jk,tik->", h.astype(A.dtype), A2, rh, A2.conj()).real
+    return e, r
+
+
+def stiefel_minimize_recycled(
+    loss_env: Callable,
+    V0: jnp.ndarray,
+    r0: jnp.ndarray,
+    steps: int = 300,
+    lr: float = 0.1,
+    momentum: float = 0.9,
+    final_loss_env: Callable | None = None,
+):
+    """``stiefel_minimize`` with an environment carried through the scan.
+
+    loss_env(V, r0) -> (value, r_new); r rides the carry with a
+    stop_gradient (the recycled start is an accelerator, not part of the
+    differentiated graph).  history matches stiefel_minimize's contract:
+    hist[k] = loss at iterate k, hist[-1] = loss of the RETURNED V —
+    evaluated with ``final_loss_env`` when given (callers pass a
+    boosted-iteration variant so the reported energy is the returned
+    state's to machine precision, not to the recycled residual).
+    """
+    vg = jax.value_and_grad(
+        lambda V, r: loss_env(V, jax.lax.stop_gradient(r)),
+        has_aux=True,
+    )
+    final_loss_env = final_loss_env or loss_env
+
+    @jax.jit
+    def run(V0, r0):
+        def step(carry, _):
+            V, M, r = carry
+            (val, r_new), G = vg(V, r)
+            G = G.conj()
+            T = _project_tangent(V, G)
+            M = momentum * M + T
+            V = _retract(V - lr * M)
+            M = _project_tangent(V, M)
+            r_new = r_new / jnp.linalg.norm(r_new)
+            return (V, M, r_new), val
+
+        (V, _, r), hist = jax.lax.scan(
+            step, (V0, jnp.zeros_like(V0), r0), None, length=steps
+        )
+        final, r = final_loss_env(V, r)
+        hist = jnp.concatenate([hist, final[None]])
+        return V, hist, r
+
+    return run(V0, r0)
+
+
+@functools.lru_cache(maxsize=32)
+def _recycled_program(D: int, steps: int, lr: float, momentum: float,
+                      recycle_iters: int):
+    """One compiled recycled-descent program per configuration, H traced
+    as float planes (axon-safe H2D; every g of a phase scan reuses one
+    executable — a fresh jit wrapper per call would re-trace the whole
+    scan each time, which dominated the first measurement of this path)."""
+
+    def loss_env(V, r, hre, him, iters):
+        return isometry_energy_warm(V, jax.lax.complex(hre, him), D, r, iters)
+
+    vg = jax.value_and_grad(
+        lambda V, r, hre, him: loss_env(
+            V, jax.lax.stop_gradient(r), hre, him, recycle_iters
+        ),
+        has_aux=True,
+    )
+
+    @jax.jit
+    def run(key, hre, him):
+        # init INSIDE the program: one dispatch per call — eager normal
+        # draws each cost a ~quarter-second round trip through the axon
+        # remote tunnel, which dominated 300-step runs
+        k1, k2 = jax.random.split(key)
+        ftype = hre.dtype
+        V0, _ = jnp.linalg.qr(
+            jax.lax.complex(
+                jax.random.normal(k1, (2 * D, D), ftype),
+                jax.random.normal(k2, (2 * D, D), ftype),
+            )
+        )
+        r0 = jnp.eye(D, dtype=V0.dtype)
+        r0 = r0 / jnp.linalg.norm(r0)
+
+        def step(carry, _):
+            V, M, r = carry
+            (val, r_new), G = vg(V, r, hre, him)
+            G = G.conj()
+            T = _project_tangent(V, G)
+            M = momentum * M + T
+            V = _retract(V - lr * M)
+            M = _project_tangent(V, M)
+            r_new = r_new / jnp.linalg.norm(r_new)
+            return (V, M, r_new), val
+
+        (V, _, r), hist = jax.lax.scan(
+            step, (V0, jnp.zeros_like(V0), r0), None, length=steps
+        )
+        # boosted final refinement: hist[-1] is the returned state's energy
+        # to machine precision (residual 1e-15 at 200 iterations), never
+        # the recycled residual
+        final, _ = loss_env(V, r, hre, him, 200)
+        hist = jnp.concatenate([hist, final[None]])
+        return V, hist
+
+    return run
+
+
 def ground_state_riemannian(
     h: jnp.ndarray,
     D: int,
@@ -106,6 +232,8 @@ def ground_state_riemannian(
     key=None,
     dense_env_max_D: int | None = None,
     power_iters: int = 120,
+    recycle: bool = True,
+    recycle_iters: int = 24,
 ):
     """Variational uMPS ground state at bond dimension D, optimizing the
     (d D, D) isometry directly.
@@ -120,6 +248,16 @@ def ground_state_riemannian(
     in VMEM; D=64 runs through the matvec path (measured: 400 steps, err
     1.4e-4 vs the exact integral, no crash) — and 8 on CPU, where matvec is
     ~13x faster at D=16 (measured: 13.5s vs 172s for 300 steps).
+
+    recycle=True (default): environment recycling — the fixed point is
+    carried through the optimizer scan and refined with ``recycle_iters``
+    cheap operator-form power matvecs per step instead of being resolved
+    from scratch (transfer.right_eigpair_warm; gradients via the implicit
+    c-gauge adjoint at the recycled pair).  Measured on one v5e chip,
+    converged errors identical to the cold path: D=8 223 -> 2955 steps/s,
+    D=32 42 -> 376, D=64 20 -> 161.  recycle=False keeps the cold
+    per-step solver (the oracle path the recycled one is tested against).
+
     Returns (A, energy, history); ``energy`` is evaluated at the returned
     A (= hist[-1]), not the best value seen during optimization.
     """
@@ -130,26 +268,37 @@ def ground_state_riemannian(
     key = jax.random.PRNGKey(0) if key is None else key
     k1, k2 = jax.random.split(key)
 
-    # build V0 INSIDE a jit from real normal draws: eager complex ops (the
-    # 1j scalar constant, eager QR) fail on the axon TPU backend, and the
-    # jitted construction leaves V0 device-resident so no complex H2D
-    # transfer ever happens (also unimplemented there)
-    @jax.jit
-    def _init(xre, xim):
-        V0, _ = jnp.linalg.qr(jax.lax.complex(xre, xim))
-        return V0
-
     ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    V0 = _init(
-        jax.random.normal(k1, (d * D, D), ftype),
-        jax.random.normal(k2, (d * D, D), ftype),
-    )
 
-    dense = D <= dense_env_max_D
+    if recycle:
+        import numpy as _np
 
-    def energy(V):
-        return isometry_energy(V, h, D, dense, power_iters)
+        h_host = _np.asarray(h)  # host constant (axon-safe float-plane H2D)
+        run = _recycled_program(D, steps, float(lr), 0.9, recycle_iters)
+        V, hist = run(
+            key,
+            jnp.asarray(_np.ascontiguousarray(h_host.real), ftype),
+            jnp.asarray(_np.ascontiguousarray(h_host.imag), ftype),
+        )
+    else:
+        # build V0 INSIDE a jit from real normal draws: eager complex ops
+        # (the 1j scalar constant, eager QR) fail on the axon TPU backend,
+        # and the jitted construction leaves V0 device-resident so no
+        # complex H2D transfer ever happens (also unimplemented there)
+        @jax.jit
+        def _init(xre, xim):
+            V0, _ = jnp.linalg.qr(jax.lax.complex(xre, xim))
+            return V0
 
-    V, hist = stiefel_minimize(energy, V0, steps=steps, lr=lr)
+        V0 = _init(
+            jax.random.normal(k1, (d * D, D), ftype),
+            jax.random.normal(k2, (d * D, D), ftype),
+        )
+        dense = D <= dense_env_max_D
+
+        def energy(V):
+            return isometry_energy(V, h, D, dense, power_iters)
+
+        V, hist = stiefel_minimize(energy, V0, steps=steps, lr=lr)
     A = V.reshape(D, d, D).transpose(1, 0, 2)
     return A, float(hist[-1]), hist

@@ -28,8 +28,24 @@ jax.config.update("jax_enable_x64", True)
 # iteration); correctness is unaffected — XLA keys the cache on the full
 # HLO + flags.  Override the location with JAX_TEST_CACHE_DIR; disable
 # with JAX_TEST_CACHE_DIR=off.
+def _host_tag():
+    """CPU-feature fingerprint folded into the cache path: XLA:CPU AOT
+    entries are microarch-specific, and loading an entry compiled on a
+    host with different vector extensions risks SIGILL.  A new host gets
+    a fresh (empty) cache instead of a dangerous one."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(l for l in f if l.startswith("flags"))
+        return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except Exception:
+        return "unknown"
+
+
 _cache_dir = os.environ.get(
-    "JAX_TEST_CACHE_DIR", os.path.expanduser("~/.cache/qmps_tpu_test_xla")
+    "JAX_TEST_CACHE_DIR",
+    os.path.expanduser(f"~/.cache/qmps_tpu_test_xla_{_host_tag()}"),
 )
 if _cache_dir != "off":
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

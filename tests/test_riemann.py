@@ -51,3 +51,78 @@ def test_reported_energy_is_returned_states_energy():
     e_of_A = float(iMPS([A]).energy(h))
     tol = 200 * np.finfo(np.asarray(hist).dtype).eps
     assert abs(e_of_A - e) < tol
+
+
+def test_warm_eigpair_matches_dense(key):
+    """right_eigpair_warm (cold-started, enough iters) reproduces the dense
+    eigensolver's fixed point and eigenvalue (f64)."""
+    from qmps_tpu.mps.imps import iMPS
+    from qmps_tpu.mps.transfer import right_eigpair_warm, right_fixed_point
+
+    A = iMPS.random(key, 2, 5)[0]
+    lam_d, r_d = right_fixed_point(A, A, dense=True)
+    r0 = jnp.eye(5, dtype=A.dtype)
+    lam_w, r_w = right_eigpair_warm(A, A, r0, 200)
+    np.testing.assert_allclose(complex(lam_w), complex(lam_d), atol=1e-10)
+    # gauge-free comparison: projectors agree
+    rw = np.asarray(r_w).reshape(-1)
+    rd = np.asarray(r_d).reshape(-1)
+    np.testing.assert_allclose(
+        np.outer(rw, rw.conj()), np.outer(rd, rd.conj()) / np.vdot(rd, rd),
+        atol=1e-9,
+    )
+
+
+def test_warm_energy_gradient_matches_cold(key):
+    """The implicit c-gauge adjoint of the recycled fixed point gives the
+    same energy gradient as the cold dense path (both compute the same
+    gauge-invariant functional; f64)."""
+    from qmps_tpu.optim.riemann import isometry_energy, isometry_energy_warm
+
+    D = 4
+    h = tfim(1.2).to_matrix()
+    X = jax.random.normal(key, (2 * D, D)) + 1j * jax.random.normal(
+        jax.random.fold_in(key, 7), (2 * D, D)
+    )
+    V, _ = jnp.linalg.qr(X)
+    r0 = jnp.eye(D, dtype=V.dtype) / np.sqrt(D)
+
+    e_cold, g_cold = jax.value_and_grad(
+        lambda V: isometry_energy(V, h, D, True), holomorphic=False
+    )(V)
+    (e_warm, _), g_warm = jax.value_and_grad(
+        lambda V: isometry_energy_warm(V, h, D, jax.lax.stop_gradient(r0), 300),
+        has_aux=True,
+        holomorphic=False,
+    )(V)
+    np.testing.assert_allclose(float(e_warm), float(e_cold), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_warm), np.asarray(g_cold), atol=1e-7)
+
+
+def test_warm_start_vector_gets_zero_cotangent(key):
+    from qmps_tpu.mps.imps import iMPS
+    from qmps_tpu.mps.transfer import right_eigpair_warm
+
+    A = iMPS.random(key, 2, 3)[0]
+    r0 = jnp.eye(3, dtype=A.dtype)
+
+    def f(r0):
+        lam, _ = right_eigpair_warm(A, A, r0, 100)
+        return jnp.abs(lam)
+
+    g = jax.grad(f, holomorphic=False)(r0)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=0.0)
+
+
+def test_recycled_matches_cold_optimizer():
+    """recycle=True converges to the same ground-state energy as the cold
+    per-step solver at D=4 (and both beat the exact integral gap bound)."""
+    h = tfim(1.0).to_matrix()
+    e_exact = float(tfim_gs_energy(1.0))
+    A_r, e_r, _ = ground_state_riemannian(h, 4, steps=250, lr=0.08, recycle=True)
+    A_c, e_c, _ = ground_state_riemannian(h, 4, steps=250, lr=0.08, recycle=False)
+    assert 0 <= e_r - e_exact < 1e-3
+    assert abs(e_r - e_c) < 2e-4
+    # returned tensor is still left-canonical
+    g = sum(np.asarray(A_r[s]).conj().T @ np.asarray(A_r[s]) for s in range(2))
+    np.testing.assert_allclose(g, np.eye(4), atol=1e-10)
