@@ -527,6 +527,65 @@ def _deep_bw_program(D: int, depth: int, steps: int, dense: bool,
     return run
 
 
+@functools.lru_cache(maxsize=32)
+def _deep_bw_program_recycled(D: int, depth: int, steps: int, lr: float,
+                              recycle_iters: int):
+    """_deep_bw_program with environment recycling: the fixed point rides
+    the adam scan and is refined with ``recycle_iters`` operator-form power
+    matvecs per step (transfer.right_eigpair_warm) instead of being
+    re-solved from scratch — the same move that bought 7-10x on the dense
+    Stiefel ladder (optim/riemann._recycled_program), applied to the
+    brick-parameter chart.  The final history entry is a boosted
+    200-matvec evaluation so the reported energy is the returned state's,
+    not the recycled residual."""
+    import optax
+
+    from ..circuits.brickwork_deep import (
+        _n_qubits,
+        brick_wall_tensor,
+        brick_wall_unitary,
+    )
+    from ..optim.riemann import isometry_energy_warm
+
+    n = _n_qubits(D)
+
+    def loss_env(p, r, hre, him, iters):
+        A = brick_wall_tensor(p, D, depth)
+        V = A.transpose(1, 0, 2).reshape(2 * D, D)  # rows (i, s)
+        return isometry_energy_warm(V, jax.lax.complex(hre, him), D, r, iters)
+
+    vg = jax.value_and_grad(
+        lambda p, r, hre, him: loss_env(
+            p, jax.lax.stop_gradient(r), hre, him, recycle_iters
+        ),
+        has_aux=True,
+    )
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
+    opt = optax.adam(sched)
+
+    @jax.jit
+    def run(x0, hre, him):
+        ctype = jnp.complex128 if hre.dtype == jnp.float64 else jnp.complex64
+        r0 = jnp.eye(D, dtype=ctype)
+        r0 = r0 / jnp.linalg.norm(r0)
+
+        def step(carry, _):
+            x, s, r = carry
+            (v, r_new), g = vg(x, r, hre, him)
+            up, s = opt.update(g, s)
+            r_new = r_new / jnp.linalg.norm(r_new)
+            return (optax.apply_updates(x, up), s, r_new), v
+
+        (x, _, r), hist = jax.lax.scan(
+            step, (x0, opt.init(x0), r0), None, length=steps
+        )
+        e, _ = loss_env(x, r, hre, him, 200)
+        U = brick_wall_unitary(x, n, depth)
+        return x, jnp.concatenate([hist, e[None]]), e, U, unitary_to_tensor(U)
+
+    return run
+
+
 def ground_state_deep_brickwork(
     H,
     D: int,
@@ -537,6 +596,8 @@ def ground_state_deep_brickwork(
     initial_guess=None,
     power_iters: int = 120,
     dense_env_max_D: Optional[int] = None,
+    recycle: bool = True,
+    recycle_iters: int = 24,
 ):
     """Variational uMPS ground state at D = 2^(n-1) over a depth-d brick
     wall of SU(4) KAK bricks (circuits/brickwork_deep.py) — the deep
@@ -544,9 +605,14 @@ def ground_state_deep_brickwork(
     alternative to the dense Stiefel optimizer at large bond dimension
     (reference anchors: new_tdvp/BrickWallMPS.py, qmps/tools.py:396-420).
 
-    The environment solve follows optim/riemann.py's backend-aware
-    crossover: dense repeated squaring while D^4 fits (<=32 on TPU, <=8 on
-    CPU), the restarted-Arnoldi + implicit-GMRES matvec path above it.
+    recycle=True (default): environment recycling — the fixed point is
+    carried through the adam scan and refined with ``recycle_iters`` cheap
+    operator-form power matvecs per step (transfer.right_eigpair_warm, the
+    implicit c-gauge adjoint for gradients) instead of being re-solved
+    from scratch.  recycle=False keeps the cold per-step solver, which
+    follows optim/riemann.py's backend-aware crossover: dense repeated
+    squaring while D^4 fits (<=32 on TPU, <=8 on CPU), the
+    restarted-Arnoldi + implicit-GMRES matvec path above it.
     Returns a GroundStateResult whose ``energy`` is evaluated at the
     returned parameters.
     """
@@ -563,9 +629,12 @@ def ground_state_deep_brickwork(
         initial_guess = (
             jax.random.normal(key, (n_brick_params(n, depth),)) * 0.3
         )
-    if dense_env_max_D is None:
-        dense_env_max_D = 32 if jax.default_backend() == "tpu" else 8
-    dense = D <= dense_env_max_D
-    run = _deep_bw_program(D, depth, steps, dense, power_iters, lr)
+    if recycle:
+        run = _deep_bw_program_recycled(D, depth, steps, lr, recycle_iters)
+    else:
+        if dense_env_max_D is None:
+            dense_env_max_D = 32 if jax.default_backend() == "tpu" else 8
+        dense = D <= dense_env_max_D
+        run = _deep_bw_program(D, depth, steps, dense, power_iters, lr)
     x, hist, e, U, A = run(jnp.asarray(initial_guess), *_h_planes(h))
     return GroundStateResult(params=x, energy=float(e), history=hist, U=U, A=A)

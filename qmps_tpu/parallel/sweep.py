@@ -46,6 +46,48 @@ def _optimize_one(g, p0, build, steps: int, lr: float):
     return loss(p), p
 
 
+def _optimize_one_recycled(g, p0, build, D: int, steps: int, lr: float,
+                           recycle_iters: int = 24, final_iters: int = 200):
+    """_optimize_one with environment recycling: the fixed point rides the
+    adam scan and is refined with ``recycle_iters`` operator-form power
+    matvecs per step (transfer.right_eigpair_warm through
+    isometry_energy_warm; implicit c-gauge adjoint for gradients) instead
+    of the from-scratch dense squaring chain — the move that bought 7-10x
+    on the single-chain ladder, vmapped over sweep points here.  The
+    returned energy is a boosted ``final_iters`` evaluation at the
+    returned parameters, never the recycled residual."""
+    from ..embed.unitaries import unitary_to_tensor
+    from ..optim.riemann import isometry_energy_warm
+
+    h = tfim_matrix(g)
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
+    opt = optax.adam(sched)
+
+    def loss_env(p, r, iters):
+        A = unitary_to_tensor(build(p))
+        V = A.transpose(1, 0, 2).reshape(2 * D, D)  # rows (i, s)
+        return isometry_energy_warm(V, h, D, r, iters)
+
+    vg = jax.value_and_grad(
+        lambda p, r: loss_env(p, jax.lax.stop_gradient(r), recycle_iters),
+        has_aux=True,
+    )
+
+    def step(carry, _):
+        p, s, r = carry
+        (v, r_new), gr = vg(p, r)
+        up, s = opt.update(gr, s)
+        r_new = r_new / jnp.linalg.norm(r_new)
+        return (optax.apply_updates(p, up), s, r_new), v
+
+    ctype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+    r0 = jnp.eye(D, dtype=ctype)
+    r0 = r0 / jnp.linalg.norm(r0)
+    (p, _, r), _ = jax.lax.scan(step, (p0, opt.init(p0), r0), None, length=steps)
+    e, _ = loss_env(p, r, final_iters)
+    return e, p
+
+
 _SWEEP_CACHE: dict = {}
 
 
@@ -59,6 +101,7 @@ def sweep_ground_states(
     mesh: Mesh | None = None,
     restarts: int = 1,
     refine_passes: int = 0,
+    recycle: bool | None = None,
 ):
     """Ground-state energies for a batch of field values g.
 
@@ -75,6 +118,11 @@ def sweep_ground_states(
     ~2 extra program calls per pass).  Measured on the 1024-point TFIM
     sweep (TPU, f32): max error 1.1e-1 (bad basins at a few points) ->
     1.9e-3 with one pass; median 3.3e-4 -> 1.1e-4.
+
+    recycle (default: on for D >= 4) switches the per-point optimizer to
+    environment recycling (_optimize_one_recycled): at D = 2 the dense
+    4x4 env solve is already negligible next to the expm chart, while at
+    D >= 4 the from-scratch D^2 x D^2 squaring chain dominates each step.
 
     Returns (energies, params): (n,) and (n, n_params).
     """
@@ -105,16 +153,22 @@ def sweep_ground_states(
 
     key = jax.random.PRNGKey(0) if key is None else key
     p0s = jax.random.normal(key, (gs.shape[0], restarts, n_params)) * 0.5
+    if recycle is None:
+        recycle = D >= 4
 
     # cache the compiled program: rebuilding the closure every call would
     # re-trace and re-compile (expensive through the TPU remote compiler)
-    cache_key = (D, ansatz, steps, lr, mesh, restarts)
+    cache_key = (D, ansatz, steps, lr, mesh, restarts, recycle)
     fn = _SWEEP_CACHE.get(cache_key)
     if fn is None:
+        if recycle:
+            opt_one = lambda g, p0: _optimize_one_recycled(g, p0, build, D, steps, lr)
+        else:
+            opt_one = lambda g, p0: _optimize_one(g, p0, build, steps, lr)
 
         def per_point(g, p0r):
             # independent restarts per point; keep the best basin
-            es, ps = jax.vmap(lambda p0: _optimize_one(g, p0, build, steps, lr))(p0r)
+            es, ps = jax.vmap(lambda p0: opt_one(g, p0))(p0r)
             i = jnp.argmin(es)
             return es[i], ps[i]
 

@@ -83,6 +83,7 @@ def test_ground_state_D8_krylov_path():
     path, backend-aware crossover in ground_state_deep_brickwork)."""
     gs = ground_state_deep_brickwork(
         tfim(0.8), D=8, steps=400, lr=0.06, key=jax.random.PRNGKey(5),
+        recycle=False,      # the cold per-step solver is the path under test
         dense_env_max_D=4,  # force the Arnoldi/GMRES matvec environment
     )
     e_exact = float(tfim_gs_energy(0.8))
@@ -101,3 +102,42 @@ def test_sweep_deep_bw_ansatz():
     err = np.asarray(es, np.float64) - exact
     assert np.all(err > -1e-6)  # variational
     assert np.max(err) < 5e-3
+
+
+def test_ground_state_recycled_matches_cold_D4():
+    """Environment recycling (the default) converges to the same energy as
+    the cold per-step solver from the same start — the recycled fixed
+    point is an accelerator, not an approximation
+    (_deep_bw_program_recycled vs _deep_bw_program)."""
+    H = tfim(1.0)
+    gr = ground_state_deep_brickwork(
+        H, D=4, steps=200, key=jax.random.PRNGKey(1), recycle=True
+    )
+    gc = ground_state_deep_brickwork(
+        H, D=4, steps=200, key=jax.random.PRNGKey(1), recycle=False
+    )
+    assert abs(gr.energy - gc.energy) < 1e-7
+    # the reported energy is the returned state's (boosted final solve)
+    assert abs(gr.energy - float(gr.history[-1])) < 1e-12
+    e_exact = float(tfim_gs_energy(1.0))
+    assert gr.energy >= e_exact - 1e-9
+
+
+def test_sweep_deep_bw_recycled_matches_cold():
+    """The D >= 4 sweep default (_optimize_one_recycled) is as accurate as
+    the cold per-point optimizer: both variational, both tracking the
+    exact integral (mid-optimization trajectories differ at O(residual),
+    so the comparison is against physics, not parameter paths)."""
+    from qmps_tpu.parallel import sweep_ground_states
+
+    gs = jnp.linspace(0.5, 1.5, 4)
+    exact = np.asarray(tfim_gs_energy(np.asarray(gs, np.float64)))
+    er, _ = sweep_ground_states(gs, D=4, ansatz="deep_bw", steps=200, refine_passes=1)
+    ec, _ = sweep_ground_states(
+        gs, D=4, ansatz="deep_bw", steps=200, refine_passes=1, recycle=False
+    )
+    for es in (er, ec):
+        err = np.asarray(es, np.float64) - exact
+        assert np.all(err > -1e-6)  # variational (boosted final solve)
+        assert np.max(err) < 5e-3
+    assert np.max(np.abs(np.asarray(er) - np.asarray(ec))) < 1e-3
