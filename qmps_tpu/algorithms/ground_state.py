@@ -86,6 +86,49 @@ def _opt_scan_core(loss, opt, steps, lbfgs=False):
     return core
 
 
+def _recycled_opt_scan_core(loss_env, opt, steps, recycle_iters, final_iters=200):
+    """(x0, r0) -> (x, hist, e_final): the adam-with-recycled-environment
+    counterpart of _opt_scan_core, shared by the deep-brickwork program and
+    the sweep's per-point optimizer.  loss_env(x, r, iters) -> (value,
+    r_new); the environment rides the scan carry behind a stop_gradient
+    (the recycled start is an accelerator, not part of the differentiated
+    graph — transfer.right_eigpair_warm gives r0 a zero cotangent, so no
+    cross-step backward chain forms).  e_final is a boosted ``final_iters``
+    evaluation at the returned x: reported energies are the returned
+    state's, never the recycled residual."""
+    import optax
+
+    vg = jax.value_and_grad(
+        lambda x, r: loss_env(x, jax.lax.stop_gradient(r), recycle_iters),
+        has_aux=True,
+    )
+
+    def core(x0, r0):
+        def step(carry, _):
+            x, s, r = carry
+            (v, r_new), g = vg(x, r)
+            up, s = opt.update(g, s)
+            # r_new is unit-Frobenius by construction (right_eigpair_warm
+            # normalizes every matvec) — no re-normalization needed
+            return (optax.apply_updates(x, up), s, r_new), v
+
+        (x, _, r), hist = jax.lax.scan(
+            step, (x0, opt.init(x0), r0), None, length=steps
+        )
+        e, _ = loss_env(x, r, final_iters)
+        return x, hist, e
+
+    return core
+
+
+def _recycled_r0(D: int, ftype) -> jnp.ndarray:
+    """Unit-Frobenius identity start for the recycled environment (PSD, so
+    power iteration from it is monotone for A == B maps)."""
+    ctype = jnp.complex128 if ftype == jnp.float64 else jnp.complex64
+    r0 = jnp.eye(D, dtype=ctype)
+    return r0 / jnp.linalg.norm(r0)
+
+
 @functools.lru_cache(maxsize=32)
 def _gs_program(ansatz: str, D: int, method: str, steps: int):
     """One compiled optimize-and-finalize program per configuration.
@@ -548,38 +591,18 @@ def _deep_bw_program_recycled(D: int, depth: int, steps: int, lr: float,
     from ..optim.riemann import isometry_energy_warm
 
     n = _n_qubits(D)
-
-    def loss_env(p, r, hre, him, iters):
-        A = brick_wall_tensor(p, D, depth)
-        V = A.transpose(1, 0, 2).reshape(2 * D, D)  # rows (i, s)
-        return isometry_energy_warm(V, jax.lax.complex(hre, him), D, r, iters)
-
-    vg = jax.value_and_grad(
-        lambda p, r, hre, him: loss_env(
-            p, jax.lax.stop_gradient(r), hre, him, recycle_iters
-        ),
-        has_aux=True,
-    )
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
     opt = optax.adam(sched)
 
     @jax.jit
     def run(x0, hre, him):
-        ctype = jnp.complex128 if hre.dtype == jnp.float64 else jnp.complex64
-        r0 = jnp.eye(D, dtype=ctype)
-        r0 = r0 / jnp.linalg.norm(r0)
+        def loss_env(p, r, iters):
+            A = brick_wall_tensor(p, D, depth)
+            V = A.transpose(1, 0, 2).reshape(2 * D, D)  # rows (i, s)
+            return isometry_energy_warm(V, jax.lax.complex(hre, him), D, r, iters)
 
-        def step(carry, _):
-            x, s, r = carry
-            (v, r_new), g = vg(x, r, hre, him)
-            up, s = opt.update(g, s)
-            r_new = r_new / jnp.linalg.norm(r_new)
-            return (optax.apply_updates(x, up), s, r_new), v
-
-        (x, _, r), hist = jax.lax.scan(
-            step, (x0, opt.init(x0), r0), None, length=steps
-        )
-        e, _ = loss_env(x, r, hre, him, 200)
+        core = _recycled_opt_scan_core(loss_env, opt, steps, recycle_iters)
+        x, hist, e = core(x0, _recycled_r0(D, hre.dtype))
         U = brick_wall_unitary(x, n, depth)
         return x, jnp.concatenate([hist, e[None]]), e, U, unitary_to_tensor(U)
 
@@ -594,7 +617,7 @@ def ground_state_deep_brickwork(
     lr: float = 0.05,
     key=None,
     initial_guess=None,
-    power_iters: int = 120,
+    power_iters: Optional[int] = None,
     dense_env_max_D: Optional[int] = None,
     recycle: bool = True,
     recycle_iters: int = 24,
@@ -630,11 +653,20 @@ def ground_state_deep_brickwork(
             jax.random.normal(key, (n_brick_params(n, depth),)) * 0.3
         )
     if recycle:
-        run = _deep_bw_program_recycled(D, depth, steps, lr, recycle_iters)
+        if dense_env_max_D is not None or power_iters is not None:
+            # cold-solver knobs must not be silently ignored (a caller
+            # forcing the Krylov path would get the recycled solver instead)
+            raise ValueError(
+                "dense_env_max_D/power_iters configure the cold per-step "
+                "solver; pass recycle=False to use them"
+            )
+        run = _deep_bw_program_recycled(D, depth, steps, float(lr), recycle_iters)
     else:
         if dense_env_max_D is None:
             dense_env_max_D = 32 if jax.default_backend() == "tpu" else 8
+        if power_iters is None:
+            power_iters = 120
         dense = D <= dense_env_max_D
-        run = _deep_bw_program(D, depth, steps, dense, power_iters, lr)
+        run = _deep_bw_program(D, depth, steps, dense, power_iters, float(lr))
     x, hist, e, U, A = run(jnp.asarray(initial_guess), *_h_planes(h))
     return GroundStateResult(params=x, energy=float(e), history=hist, U=U, A=A)

@@ -286,13 +286,16 @@ def right_eigpair_warm(
 
 def _warm_fwd(A, B, r0, iters, bwd):
     lam, r = right_eigpair_warm(A, B, r0, iters, bwd)
-    return (lam, r), (A, B, lam, r)
+    # r0 rides the residuals only for its aval: the bwd's zero cotangent
+    # must match r0's shape/dtype exactly (custom_vjp aval check), and r0
+    # may differ from r (e.g. complex64 start under x64)
+    return (lam, r), (A, B, lam, r, r0)
 
 
 def _warm_bwd(iters, bwd, res, cts):
     from ..core.krylov import gmres_solve
 
-    A, B, lam, r = res
+    A, B, lam, r, r0 = res
     lam_ct, r_ct = cts
     D1, D2 = A.shape[1], B.shape[1]
     n = D1 * D2
@@ -321,13 +324,24 @@ def _warm_bwd(iters, bwd, res, cts):
             bot = -(v @ xi)
             return jnp.concatenate([top, jnp.reshape(bot, (1,))])
 
-        sol, _ = gmres_solve(op, rhs, k=32, restarts=3)
+        # budget PROPORTIONAL to the forward's recycle budget (~4x its
+        # matvecs), not the cold adjoint's 400: the gradient is evaluated
+        # at the RECYCLED pair, itself only O(power-residual) off the true
+        # fixed point, so solving the bordered system to machine precision
+        # buys nothing — measured at D=64 on one v5e: a 400-matvec budget
+        # costs 4x per step (145 -> 37 steps/s) with converged errors
+        # unchanged (1.45e-4 vs 1.58e-4)
+        # (k=32 beats _krylov_dims's k=48 here: same matvec total, less
+        # orthogonalization per cycle — measured 146 vs 124 steps/s at D=64)
+        k = min(n + 1, 32)
+        restarts = max(3, -(-4 * iters // k))
+        sol, _ = gmres_solve(op, rhs, k=k, restarts=restarts)
     xi = sol[:n].reshape(D1, D2)
     # <Ebar, dE> = -xi^T (dE v) pulled back through dE v = vec(dA r B^dag
     # + A r dB^dag)
     Abar = -jnp.einsum("il,jk,slk->sij", xi, r, B.conj())
     Bbar = -jnp.einsum("il,sij,jk->slk", xi, A, r).conj()
-    return Abar, Bbar, jnp.zeros_like(r)
+    return Abar, Bbar, jnp.zeros_like(r0)
 
 
 right_eigpair_warm.defvjp(_warm_fwd, _warm_bwd)

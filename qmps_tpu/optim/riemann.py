@@ -118,54 +118,6 @@ def isometry_energy_warm(V, h, D: int, r0, iters: int = 24):
     return e, r
 
 
-def stiefel_minimize_recycled(
-    loss_env: Callable,
-    V0: jnp.ndarray,
-    r0: jnp.ndarray,
-    steps: int = 300,
-    lr: float = 0.1,
-    momentum: float = 0.9,
-    final_loss_env: Callable | None = None,
-):
-    """``stiefel_minimize`` with an environment carried through the scan.
-
-    loss_env(V, r0) -> (value, r_new); r rides the carry with a
-    stop_gradient (the recycled start is an accelerator, not part of the
-    differentiated graph).  history matches stiefel_minimize's contract:
-    hist[k] = loss at iterate k, hist[-1] = loss of the RETURNED V —
-    evaluated with ``final_loss_env`` when given (callers pass a
-    boosted-iteration variant so the reported energy is the returned
-    state's to machine precision, not to the recycled residual).
-    """
-    vg = jax.value_and_grad(
-        lambda V, r: loss_env(V, jax.lax.stop_gradient(r)),
-        has_aux=True,
-    )
-    final_loss_env = final_loss_env or loss_env
-
-    @jax.jit
-    def run(V0, r0):
-        def step(carry, _):
-            V, M, r = carry
-            (val, r_new), G = vg(V, r)
-            G = G.conj()
-            T = _project_tangent(V, G)
-            M = momentum * M + T
-            V = _retract(V - lr * M)
-            M = _project_tangent(V, M)
-            r_new = r_new / jnp.linalg.norm(r_new)
-            return (V, M, r_new), val
-
-        (V, _, r), hist = jax.lax.scan(
-            step, (V0, jnp.zeros_like(V0), r0), None, length=steps
-        )
-        final, r = final_loss_env(V, r)
-        hist = jnp.concatenate([hist, final[None]])
-        return V, hist, r
-
-    return run(V0, r0)
-
-
 @functools.lru_cache(maxsize=32)
 def _recycled_program(D: int, steps: int, lr: float, momentum: float,
                       recycle_iters: int):
@@ -208,7 +160,7 @@ def _recycled_program(D: int, steps: int, lr: float, momentum: float,
             M = momentum * M + T
             V = _retract(V - lr * M)
             M = _project_tangent(V, M)
-            r_new = r_new / jnp.linalg.norm(r_new)
+            # r_new is unit-Frobenius by construction (right_eigpair_warm)
             return (V, M, r_new), val
 
         (V, _, r), hist = jax.lax.scan(
@@ -231,7 +183,7 @@ def ground_state_riemannian(
     lr: float = 0.08,
     key=None,
     dense_env_max_D: int | None = None,
-    power_iters: int = 120,
+    power_iters: int | None = None,
     recycle: bool = True,
     recycle_iters: int = 24,
 ):
@@ -261,16 +213,20 @@ def ground_state_riemannian(
     Returns (A, energy, history); ``energy`` is evaluated at the returned
     A (= hist[-1]), not the best value seen during optimization.
     """
-    if dense_env_max_D is None:
-        dense_env_max_D = 32 if jax.default_backend() == "tpu" else 8
-
     d = 2
     key = jax.random.PRNGKey(0) if key is None else key
-    k1, k2 = jax.random.split(key)
 
     ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     if recycle:
+        if dense_env_max_D is not None or power_iters is not None:
+            # these knobs configure the COLD per-step solver only; silently
+            # ignoring them would hand the caller a different solver than
+            # the one they tuned (e.g. forcing the Krylov path for a test)
+            raise ValueError(
+                "dense_env_max_D/power_iters configure the cold per-step "
+                "solver; pass recycle=False to use them"
+            )
         import numpy as _np
 
         h_host = _np.asarray(h)  # host constant (axon-safe float-plane H2D)
@@ -281,6 +237,11 @@ def ground_state_riemannian(
             jnp.asarray(_np.ascontiguousarray(h_host.imag), ftype),
         )
     else:
+        if dense_env_max_D is None:
+            dense_env_max_D = 32 if jax.default_backend() == "tpu" else 8
+        if power_iters is None:
+            power_iters = 120
+        k1, k2 = jax.random.split(key)
         # build V0 INSIDE a jit from real normal draws: eager complex ops
         # (the 1j scalar constant, eager QR) fail on the axon TPU backend,
         # and the jitted construction leaves V0 device-resident so no

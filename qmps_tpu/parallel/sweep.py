@@ -56,6 +56,7 @@ def _optimize_one_recycled(g, p0, build, D: int, steps: int, lr: float,
     on the single-chain ladder, vmapped over sweep points here.  The
     returned energy is a boosted ``final_iters`` evaluation at the
     returned parameters, never the recycled residual."""
+    from ..algorithms.ground_state import _recycled_opt_scan_core, _recycled_r0
     from ..embed.unitaries import unitary_to_tensor
     from ..optim.riemann import isometry_energy_warm
 
@@ -68,23 +69,9 @@ def _optimize_one_recycled(g, p0, build, D: int, steps: int, lr: float,
         V = A.transpose(1, 0, 2).reshape(2 * D, D)  # rows (i, s)
         return isometry_energy_warm(V, h, D, r, iters)
 
-    vg = jax.value_and_grad(
-        lambda p, r: loss_env(p, jax.lax.stop_gradient(r), recycle_iters),
-        has_aux=True,
-    )
-
-    def step(carry, _):
-        p, s, r = carry
-        (v, r_new), gr = vg(p, r)
-        up, s = opt.update(gr, s)
-        r_new = r_new / jnp.linalg.norm(r_new)
-        return (optax.apply_updates(p, up), s, r_new), v
-
-    ctype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
-    r0 = jnp.eye(D, dtype=ctype)
-    r0 = r0 / jnp.linalg.norm(r0)
-    (p, _, r), _ = jax.lax.scan(step, (p0, opt.init(p0), r0), None, length=steps)
-    e, _ = loss_env(p, r, final_iters)
+    core = _recycled_opt_scan_core(loss_env, opt, steps, recycle_iters, final_iters)
+    ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    p, _, e = core(p0, _recycled_r0(D, ftype))
     return e, p
 
 

@@ -34,13 +34,19 @@ def _host_tag():
     host with different vector extensions risks SIGILL.  A new host gets
     a fresh (empty) cache instead of a dangerous one."""
     import hashlib
+    import platform
 
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next(l for l in f if l.startswith("flags"))
-        return hashlib.sha1(flags.encode()).hexdigest()[:10]
+            # x86 Linux: 'flags'; aarch64 Linux: 'Features'; elsewhere
+            # (e.g. macOS, no /proc) fall back to the machine arch alone
+            # so different architectures still get distinct caches
+            line = next(
+                (l for l in f if l.startswith(("flags", "Features"))), ""
+            )
     except Exception:
-        return "unknown"
+        line = ""
+    return hashlib.sha1((platform.machine() + line).encode()).hexdigest()[:10]
 
 
 _cache_dir = os.environ.get(
