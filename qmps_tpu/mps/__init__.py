@@ -1,2 +1,3 @@
 from .imps import iMPS, Map, TransferMatrix  # noqa: F401
+from .tdvp import vumps_ground_state  # noqa: F401
 from .transfer import dominant_eig_dense, dominant_eig_power  # noqa: F401

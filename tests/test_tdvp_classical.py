@@ -146,3 +146,73 @@ def test_environment_solves_satisfy_their_equations(key):
     ER_H = jnp.einsum("sai,sbj,ij->ab", AR, AR.conj(), HR)
     resR = HR - ER_H + jnp.trace(l @ HR) * jnp.eye(3, dtype=HR.dtype) - hR
     assert float(jnp.linalg.norm(resR)) < 1e-10
+
+
+class TestVUMPS:
+    """mps.tdvp.vumps_ground_state: the D-optimal ground-state solver."""
+
+    def test_lanczos_ground_matches_eigh(self):
+        from qmps_tpu.mps.tdvp import _lanczos_ground
+
+        k = jax.random.PRNGKey(0)
+        M = jax.random.normal(k, (40, 40)) + 1j * jax.random.normal(
+            jax.random.fold_in(k, 1), (40, 40)
+        )
+        H = (M + M.conj().T) / 2
+        theta, v = _lanczos_ground(lambda x: H @ x, jnp.ones(40, H.dtype), 32)
+        evals, evecs = np.linalg.eigh(np.asarray(H))
+        assert abs(float(theta) - evals[0]) < 1e-8
+        assert abs(abs(np.vdot(np.asarray(v), evecs[:, 0])) - 1.0) < 1e-6
+
+    def test_lanczos_breakdown_returns_exact_eigenvector(self):
+        """Starting AT an eigenvector exhausts the Krylov space at step 1;
+        the padded tridiagonal rows must not inject spurious low modes."""
+        from qmps_tpu.mps.tdvp import _lanczos_ground
+
+        H = jnp.diag(jnp.asarray([-2.0, -1.0, 0.0, 1.0], jnp.complex128))
+        v0 = jnp.asarray([0.0, 1.0, 0.0, 0.0], jnp.complex128)  # eigvec of -1
+        theta, v = _lanczos_ground(lambda x: H @ x, v0, 8)
+        assert abs(float(theta) - (-1.0)) < 1e-12
+        assert abs(abs(np.vdot(np.asarray(v), np.asarray(v0))) - 1.0) < 1e-10
+
+    def test_vumps_reaches_machine_gradient_D4(self):
+        from qmps_tpu.mps.tdvp import vumps_ground_state
+
+        h = jnp.asarray(np.asarray(tfim(1.0).to_matrix()))
+        AL, C, e, info = vumps_ground_state(h, 4, iters=150)
+        e_exact = float(tfim_gs_energy(1.0))
+        assert float(info["grad_norms"][-1]) < 1e-10
+        assert e >= e_exact - 1e-9  # variational at the converged gauge
+        assert e - e_exact < 1e-4
+        # AL is left-isometric
+        acc = sum(np.asarray(AL[s]).conj().T @ np.asarray(AL[s]) for s in range(2))
+        np.testing.assert_allclose(acc, np.eye(4), atol=1e-10)
+
+    def test_vumps_beats_descent_at_criticality_D8(self):
+        """The flat entanglement-tail directions stall gradient descent at
+        err ~2e-4 / xi ~5 at D=8, g=1; VUMPS reaches the D-optimum
+        (err ~2.6e-6, xi ~34)."""
+        from qmps_tpu.mps.tdvp import vumps_ground_state
+
+        h = jnp.asarray(np.asarray(tfim(1.0).to_matrix()))
+        AL, C, e, info = vumps_ground_state(h, 8, iters=200)
+        e_exact = float(tfim_gs_energy(1.0))
+        assert float(info["grad_norms"][-1]) < 1e-10
+        assert e - e_exact < 1e-5
+        st = iMPS([AL])
+        assert float(st.correlation_length()) > 20.0
+
+    @pytest.mark.slow
+    def test_central_charge_scaling(self):
+        """Finite-entanglement scaling S = (c/6) log xi across D = 4..12
+        (grown starts) recovers the Ising central charge c = 1/2 to ~10%
+        — a physics validation beyond the reference's surface."""
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+        from central_charge import fit_central_charge, scaling_table
+
+        rows = scaling_table(Ds=(4, 8, 12), iters=300)
+        for D, err, S, xi, _ in rows:
+            assert err > -1e-6 and err < 1e-4
+        c = fit_central_charge(rows)
+        assert 0.40 < c < 0.56, c
