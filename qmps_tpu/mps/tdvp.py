@@ -313,23 +313,29 @@ def _lanczos_ground(matvec, v0, k: int):
         ok = b > 1e-12
         vn = jnp.where(ok, w / jnp.where(ok, b, 1.0), jnp.zeros_like(w))
         V = V.at[j].set(jnp.where(active, v, jnp.zeros_like(v)))
-        # after a breakdown (the Krylov space is exhausted — common at
-        # convergence), the remaining tridiagonal rows are padding: give
-        # them a LARGE diagonal so their spurious eigenpairs sort to the
-        # TOP of the spectrum, never competing with the ground value
-        # (which is ~0 here — h arrives with its extensive part removed)
-        alpha = alpha.at[j].set(jnp.where(active, a, 1e30))
+        alpha = alpha.at[j].set(jnp.where(active, a, 0.0))
         beta = beta.at[j].set(jnp.where(active & ok, b, 0.0))
-        return (V, alpha, beta, vn, v, b, active & ok), None
+        mask = jnp.where(active, True, False)
+        return (V, alpha, beta, vn, v, b, active & ok), mask
 
     V0 = jnp.zeros((k, n), dtype)
-    (V, alpha, beta, _, _, _, _), _ = jax.lax.scan(
+    (V, alpha, beta, _, _, _, _), mask = jax.lax.scan(
         step,
         (V0, jnp.zeros(k, rtype), jnp.zeros(k, rtype), v0,
          jnp.zeros_like(v0), jnp.zeros((), rtype),
          jnp.ones((), bool)),
         jnp.arange(k),
     )
+    # after a breakdown (the Krylov space is exhausted — common at
+    # convergence), the remaining tridiagonal rows are zero-coupled
+    # padding: give them a diagonal ABOVE the active block's Gershgorin
+    # bound so their spurious eigenpairs sort to the top of the spectrum,
+    # never competing with the ground value.  The pad is DATA-DERIVED
+    # (not a 1e30 literal): eigh's accuracy is absolute in ||T||, so a
+    # huge pad would wash out the small ground eigenvalue — fatally in
+    # float32, where eps * 1e30 is astronomically larger than theta.
+    pad = 1.0 + 2.0 * (jnp.max(jnp.abs(alpha)) + jnp.max(beta))
+    alpha = jnp.where(mask, alpha, pad)
     T = (
         jnp.diag(alpha)
         + jnp.diag(beta[: k - 1], 1)
