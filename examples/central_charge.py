@@ -78,7 +78,11 @@ def fit_central_charge(rows):
 
 if __name__ == "__main__":
     on_tpu = jax.default_backend() == "tpu"
-    Ds = (4, 8, 12, 16, 24, 32) if on_tpu else (4, 8, 12, 16)
+    # float32 resolves the entanglement tail only up to xi ~ 34 (the tail
+    # Schmidt weights s^2 drop below f32 eps) — the TPU backend here has
+    # no complex128, so the TPU run caps D at 12 and the precision fit
+    # belongs on CPU x64, where D=16 reaches xi ~ 103
+    Ds = (4, 8, 12) if on_tpu else (4, 8, 12, 16)
     rows = scaling_table(Ds=Ds)
     print(f"{'D':>3} {'e_err':>10} {'S':>8} {'xi':>9} {'s':>7}")
     for D, err, S, xi, dt in rows:

@@ -310,7 +310,12 @@ def _lanczos_ground(matvec, v0, k: int):
         # keeps the tridiagonal problem meaningful at k ~ 32
         w = w - V.T @ (V.conj() @ w)
         b = jnp.linalg.norm(w)
-        ok = b > 1e-12
+        # dtype-aware breakdown threshold: at convergence the
+        # reorthogonalized residual is pure roundoff at the scale of the
+        # recurrence (|a| + b_prev); a fixed 1e-12 admits f32 noise
+        # vectors as Krylov directions (observed: D=4 VUMPS diverging in
+        # float32 from random starts while float64 converged)
+        ok = b > 64 * jnp.finfo(rtype).eps * (jnp.abs(a) + b_prev + 1.0)
         vn = jnp.where(ok, w / jnp.where(ok, b, 1.0), jnp.zeros_like(w))
         V = V.at[j].set(jnp.where(active, v, jnp.zeros_like(v)))
         alpha = alpha.at[j].set(jnp.where(active, a, 0.0))

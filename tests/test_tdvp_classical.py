@@ -216,3 +216,18 @@ class TestVUMPS:
             assert err > -1e-6 and err < 1e-4
         c = fit_central_charge(rows)
         assert 0.40 < c < 0.56, c
+
+    def test_vumps_float32_converges(self):
+        """Regression: the Lanczos breakdown threshold must be dtype-aware
+        — a fixed 1e-12 admits float32 noise as Krylov directions and
+        VUMPS diverges from random starts in complex64 (the TPU mode)."""
+        from qmps_tpu.mps.imps import random_tensor
+        from qmps_tpu.mps.tdvp import vumps_ground_state
+
+        h = jnp.asarray(np.asarray(tfim(1.0).to_matrix(), np.float32))
+        A0 = random_tensor(jax.random.PRNGKey(0), 2, 4, dtype=jnp.complex64)
+        AL, C, e, info = vumps_ground_state(h, 4, iters=150, A0=A0)
+        assert AL.dtype == jnp.complex64
+        e_exact = float(tfim_gs_energy(1.0))
+        assert abs(e - e_exact) < 5e-4
+        assert float(info["grad_norms"][-1]) < 1e-4
