@@ -64,10 +64,15 @@ def _optimize_one_recycled(g, p0, build, D: int, steps: int, lr: float,
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
     opt = optax.adam(sched)
 
+    # the LU bordered adjoint materializes a (D^2+1)^2 system per batch
+    # element under vmap (8.6 GB for a 1024-point sweep at D=32): switch
+    # to the matvec GMRES form once the per-point system stops being small
+    bwd = "gmres" if D >= 16 else "auto"
+
     def loss_env(p, r, iters):
         A = unitary_to_tensor(build(p))
         V = A.transpose(1, 0, 2).reshape(2 * D, D)  # rows (i, s)
-        return isometry_energy_warm(V, h, D, r, iters)
+        return isometry_energy_warm(V, h, D, r, iters, bwd)
 
     core = _recycled_opt_scan_core(loss_env, opt, steps, recycle_iters, final_iters)
     ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -89,6 +94,7 @@ def sweep_ground_states(
     restarts: int = 1,
     refine_passes: int = 0,
     recycle: bool | None = None,
+    point_chunk: int | None = None,
 ):
     """Ground-state energies for a batch of field values g.
 
@@ -110,6 +116,15 @@ def sweep_ground_states(
     environment recycling (_optimize_one_recycled): at D = 2 the dense
     4x4 env solve is already negligible next to the expm chart, while at
     D >= 4 the from-scratch D^2 x D^2 squaring chain dominates each step.
+
+    point_chunk bounds how many points one program call carries; the
+    chunks run sequentially through the SAME compiled program and are
+    concatenated on the host (points are independent, so this changes
+    nothing but the dispatch count).  Defaults to 512 for D >= 16, where
+    a single 1024-point x 300-step program crashes the axon TPU worker
+    (probed: 512x300 and 1024x50 both run; the same working-set-dependent
+    crash family as docs/DESIGN.md "long-scan pathology").  Pick n as a
+    multiple of point_chunk to avoid compiling a remainder-shaped program.
 
     Returns (energies, params): (n,) and (n, n_params).
     """
@@ -163,7 +178,25 @@ def sweep_ground_states(
 
         fn = jax.jit(shard_over_sweep(jax.vmap(per_point), mesh))
         _SWEEP_CACHE[cache_key] = fn
-    es, ps = fn(gs, p0s)
+
+    if point_chunk is None and D >= 16:
+        # crash boundary scales with the per-point working set (~D^2):
+        # D=16 probed OK at 512x300 and crashed at 1024x300; D=32 crashed
+        # at 512x300 and runs at 256x300
+        point_chunk = max(64, 8192 // D)
+
+    def run(gv, p0v):
+        n = gv.shape[0]
+        if not point_chunk or n <= point_chunk:
+            return fn(gv, p0v)
+        outs = [
+            fn(gv[i : i + point_chunk], p0v[i : i + point_chunk])
+            for i in range(0, n, point_chunk)
+        ]
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
+
+    es, ps = run(gs, p0s)
     for k in range(refine_passes):
         for shift in (1, -1):
             p0n = jnp.broadcast_to(
@@ -177,7 +210,7 @@ def sweep_ground_states(
                 jit_key = jax.random.fold_in(key, 1000 + 2 * k + (shift > 0))
                 noise = 0.05 * jax.random.normal(jit_key, p0n.shape, p0n.dtype)
                 p0n = p0n + noise.at[:, 0, :].set(0.0)  # slot 0 stays exact
-            e2, p2 = fn(gs, p0n)
+            e2, p2 = run(gs, p0n)
             better = e2 < es
             es = jnp.where(better, e2, es)
             ps = jnp.where(better[:, None], p2, ps)

@@ -91,6 +91,8 @@ class SweepConfig:
     g_min: float = 0.1
     g_max: float = 2.0
     use_mesh: bool = False
+    ansatz: str = "suN"
+    refine_passes: int = 0
 
     def run(self) -> dict:
         from .ham import tfim_gs_energy
@@ -99,10 +101,16 @@ class SweepConfig:
         gs = jnp.linspace(self.g_min, self.g_max, self.n_points)
         mesh = make_mesh() if self.use_mesh and len(jax.devices()) > 1 else None
         # warm-up/compile
-        es, _ = sweep_ground_states(gs, D=self.D, steps=self.steps, mesh=mesh)
+        es, _ = sweep_ground_states(
+            gs, D=self.D, ansatz=self.ansatz, steps=self.steps, mesh=mesh,
+            refine_passes=self.refine_passes,
+        )
         es.block_until_ready()
         t0 = time.perf_counter()
-        es, _ = sweep_ground_states(gs + 1e-3, D=self.D, steps=self.steps, mesh=mesh)
+        es, _ = sweep_ground_states(
+            gs + 1e-3, D=self.D, ansatz=self.ansatz, steps=self.steps,
+            mesh=mesh, refine_passes=self.refine_passes,
+        )
         es.block_until_ready()
         dt = time.perf_counter() - t0
         exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
@@ -318,6 +326,18 @@ CONFIG_LADDER = (
     QuenchConfig(),
     SweepConfig(),
     FusedSweepConfig(),
+    # config 4 at large D: the full 1024-point sweep through the
+    # deep-brickwork ansatz with per-point environment recycling —
+    # the "(g, D) sweep, D <= 32" reading of the BASELINE target.
+    # refine_passes=4: random starts leave a ~6-point bad-basin cluster
+    # near g~1.85 (err 0.13); four continuation passes heal it fully
+    # at D=16 (max err 0.13 -> 4.2e-3, zero points > 5e-3).  The ladder
+    # entry is D=16 (first compile ~2 min through the remote tunnel);
+    # D=32 runs the same path (measured: warm 10.5 s / 97.6 opts/s,
+    # median 9.6e-5) but first-compiles for ~20 min — run it explicitly
+    # via SweepConfig(n_points=1024, D=32, ansatz="deep_bw",
+    # refine_passes=4) when the wall-clock budget allows
+    SweepConfig(n_points=1024, D=16, ansatz="deep_bw", refine_passes=4),
     BrickworkConfig(),
     LargeDConfig(D=32),
     LargeDConfig(D=64),

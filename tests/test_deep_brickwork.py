@@ -141,3 +141,19 @@ def test_sweep_deep_bw_recycled_matches_cold():
         assert np.all(err > -1e-6)  # variational (boosted final solve)
         assert np.max(err) < 5e-3
     assert np.max(np.abs(np.asarray(er) - np.asarray(ec))) < 1e-3
+
+
+@pytest.mark.slow
+def test_sweep_deep_bw_D16_gmres_backward():
+    """D >= 16 sweeps switch the warm adjoint to the matvec GMRES form
+    (the vmapped LU branch would materialize a (D^2+1)^2 system per
+    point); the path must trace, run, and stay variational."""
+    from qmps_tpu.parallel import sweep_ground_states
+
+    gs = jnp.asarray([0.7, 1.3])
+    es, _ = sweep_ground_states(gs, D=16, ansatz="deep_bw", steps=60)
+    err = np.asarray(es, np.float64) - np.asarray(
+        tfim_gs_energy(np.asarray(gs, np.float64))
+    )
+    assert np.all(np.isfinite(err))
+    assert np.all(err > -1e-6)  # variational
