@@ -1,2 +1,9 @@
-from .hamiltonian import Hamiltonian, heisenberg, scars_H, tfim, xy  # noqa: F401
+from .hamiltonian import (  # noqa: F401
+    Hamiltonian,
+    heisenberg,
+    scars_H,
+    sublattice_rotate,
+    tfim,
+    xy,
+)
 from .exact import loschmidt_rate, tfim_gs_energy, xy_gs_energy  # noqa: F401

@@ -231,3 +231,41 @@ class TestVUMPS:
         e_exact = float(tfim_gs_energy(1.0))
         assert abs(e - e_exact) < 5e-4
         assert float(info["grad_norms"][-1]) < 1e-4
+
+    def test_vumps_xy_and_heisenberg_oracles(self):
+        """VUMPS on the sublattice-rotated antiferromagnets hits the
+        free-fermion XY energy and the Bethe-ansatz Heisenberg value
+        (the bare Neel-structured forms stall single-site fixed-point
+        solvers — ham.sublattice_rotate's docstring)."""
+        from qmps_tpu.ham import heisenberg, sublattice_rotate, xy
+        from qmps_tpu.ham.classical_baselines import heisenberg_exact_energy
+        from qmps_tpu.ham.exact import xy_gs_energy
+        from qmps_tpu.mps.tdvp import vumps_ground_state
+
+        hxy = jnp.asarray(sublattice_rotate(xy()))
+        _, _, e, info = vumps_ground_state(hxy, 8, iters=300, k=32)
+        assert abs(e - xy_gs_energy()) < 1e-3
+        assert float(info["grad_norms"][-1]) < 1e-8
+
+        hh = jnp.asarray(sublattice_rotate(heisenberg(1.0)))
+        _, _, e, info = vumps_ground_state(hh, 8, iters=300, k=32)
+        assert abs(e - heisenberg_exact_energy()) < 3e-3
+
+    @pytest.mark.slow
+    def test_vumps_heisenberg_bethe_D16(self):
+        """D=16 (grown from D=8) vs the Bethe value 1 - 4 ln 2 to 2e-4."""
+        from qmps_tpu.ham import heisenberg, sublattice_rotate
+        from qmps_tpu.ham.classical_baselines import heisenberg_exact_energy
+        from qmps_tpu.mps.tdvp import vumps_ground_state
+
+        hh = jnp.asarray(sublattice_rotate(heisenberg(1.0)))
+        AL8, _, _, _ = vumps_ground_state(hh, 8, iters=300, k=32)
+        A0 = jnp.zeros((2, 16, 16), AL8.dtype).at[:, :8, :8].set(AL8)
+        k = jax.random.PRNGKey(3)
+        A0 = A0 + 1e-3 * (
+            jax.random.normal(k, A0.shape)
+            + 1j * jax.random.normal(jax.random.fold_in(k, 1), A0.shape)
+        ).astype(A0.dtype)
+        _, _, e, info = vumps_ground_state(hh, 16, iters=300, k=32, A0=A0)
+        assert abs(e - heisenberg_exact_energy()) < 3e-4
+        assert float(info["grad_norms"][-1]) < 1e-8
