@@ -377,6 +377,52 @@ def bench_gs_deep_brickwork(D, steps=200, depth=None):
     }
 
 
+def bench_vumps(D=8, iters=250):
+    """VUMPS row: D-optimal ground state by the tangent-space eigensolver
+    (mps/tdvp.vumps_ground_state).  The error column is an f64 HOST
+    re-evaluation of the returned state's energy (the on-chip f32 energy
+    readout resolves only ~2e-7 relative); the gradient norm readback
+    validates execution (axon rule 7)."""
+    from qmps_tpu.ham import tfim, tfim_gs_energy
+    from qmps_tpu.mps.tdvp import vumps_ground_state
+
+    h = np.asarray(tfim(1.0).to_matrix(), np.float32)
+    AL, _, e, info = vumps_ground_state(h, D, iters=iters, k=32)  # compile
+    t0 = time.perf_counter()
+    AL, _, e, info = vumps_ground_state(
+        h, D, iters=iters, k=32, key=jax.random.PRNGKey(2)
+    )
+    dt = time.perf_counter() - t0
+    gn = float(np.asarray(info["grad_norms"][-1]))
+    assert np.isfinite(gn), gn
+    # f64 host energy of the returned left-canonical tensor: right env
+    # from the dense D^2 x D^2 transfer eig, then the 2-site contraction
+    split = jax.jit(lambda A: (jnp.real(A).astype(jnp.float32),
+                               jnp.imag(A).astype(jnp.float32)))
+    ar, ai = split(AL)
+    A = np.asarray(ar).astype(np.complex128) + 1j * np.asarray(ai)
+    # gauge-free f64 energy: the f32-rounded tensor is left-canonical only
+    # to ~1e-7, so both fixed points enter (identity-l with a slightly
+    # non-canonical A reported energies BELOW the exact bound)
+    E = np.einsum("sik,sjl->ijkl", A, A.conj()).reshape(D * D, D * D)
+    w, v = np.linalg.eig(E)
+    r = v[:, np.argmax(np.abs(w))].reshape(D, D)
+    r = (r + r.conj().T) / 2
+    wl, vl = np.linalg.eig(E.conj().T)
+    l = vl[:, np.argmax(np.abs(wl))].reshape(D, D)
+    l = (l + l.conj().T) / 2
+    lam = np.max(np.abs(w))  # |dominant| of the (unnormalized) transfer
+    A2 = np.einsum("sij,tjk->stik", A, A).reshape(4, D, D)
+    h64 = np.asarray(tfim(1.0).to_matrix(), np.float64)
+    num = np.einsum("ts,ai,sij,jk,tak->", h64, l, A2, r, A2.conj())
+    e64 = (num / (lam ** 2 * np.einsum("ai,ia->", l, r))).real
+    return {
+        f"vumps_iters_per_sec_D{D}": round(iters / dt, 1),
+        f"vumps_energy_error_D{D}": float(e64 - float(tfim_gs_energy(1.0))),
+        f"vumps_grad_norm_D{D}": gn,
+    }
+
+
 def main():
     ladder = {}
     evals_per_sec, evals_per_sec_xla, win_pal, win_xla = bench_overlap_throughput()
@@ -403,6 +449,7 @@ def main():
     # Set QMPS_BENCH_SKIP_D64=1 to skip under a tight driver timeout.
     if not os.environ.get("QMPS_BENCH_SKIP_D64"):
         ladder.update(bench_gs_large_D(64, steps=150))
+    ladder.update(bench_vumps(8, iters=250))
     # config-5 brick-wall leg: deep-brickwork ansatz at D=32 (dense MXU
     # env regime; the D=64 Krylov-regime row shares the skip flag since
     # its first compile is comparable to riemann-D64's ~4 min)

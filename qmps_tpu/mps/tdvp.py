@@ -406,27 +406,25 @@ def vumps_step(AL, AR, C, h, k: int = 24):
     return ALn, ARn, Cn * ph.astype(Cn.dtype), e, grad_norm
 
 
-def vumps_ground_state(h, D: int, iters: int = 150, k: int = 24, key=None,
-                       A0=None):
-    """D-optimal uMPS ground state of the two-site Hamiltonian h by VUMPS.
+import functools as _functools
 
-    Returns (AL, C, energy, info) with info = {"grad_norms": (iters,),
-    "energies": (iters,)}; energy is the final state's (one extra
-    environment solve).  Fixed iteration count keeps the whole solver one
-    compiled lax.scan program (check info["grad_norms"][-1] for
-    convergence; ~1e-6 by iteration 100 at D=8, g=1 in f64)."""
+
+@_functools.lru_cache(maxsize=32)
+def _vumps_program(D: int, iters: int, k: int):
+    """One compiled VUMPS program per configuration.  Everything —
+    gauge fixing included — runs INSIDE the jit: on the axon TPU backend
+    eager complex ops fail outright and complex arrays as runtime jit
+    args fail silently at execution, so the state enters as float
+    real/imag planes (lax.complex'd in-program) and H as float planes
+    (docs/DESIGN.md rules 1-2)."""
     import jax
 
-    if A0 is None:
-        key = jax.random.PRNGKey(0) if key is None else key
-        from .imps import random_tensor
-
-        A0 = random_tensor(key, 2, D)
-    AL, AR, C = mixed_gauge(A0)
-    hc = h.astype(AL.dtype)
-
     @jax.jit
-    def run(AL, AR, C):
+    def run(a0re, a0im, hre, him):
+        A0 = jax.lax.complex(a0re, a0im)
+        AL, AR, C = mixed_gauge(A0)
+        hc = jax.lax.complex(hre, him).astype(AL.dtype)
+
         def body(carry, _):
             AL, AR, C = carry
             AL, AR, C, e, g = vumps_step(AL, AR, C, hc, k)
@@ -438,5 +436,47 @@ def vumps_ground_state(h, D: int, iters: int = 150, k: int = 24, key=None,
         _, _, e = hamiltonian_environments(AL, AR, C, hc)
         return AL, C, e, es, gs
 
-    AL, C, e, es, gs = run(AL, AR, C)
+    return run
+
+
+def vumps_ground_state(h, D: int, iters: int = 150, k: int = 24, key=None,
+                       A0=None):
+    """D-optimal uMPS ground state of the two-site Hamiltonian h by VUMPS.
+
+    Returns (AL, C, energy, info) with info = {"grad_norms": (iters,),
+    "energies": (iters,)}; energy is the final state's (one extra
+    environment solve).  Fixed iteration count keeps the whole solver one
+    compiled lax.scan program per (D, iters, k) — check
+    info["grad_norms"][-1] for convergence; ~1e-6 by iteration 100 at
+    D=8, g=1 in f64.  A0 (e.g. a lower-D solution grown by bond
+    embedding) may be a complex device array: it is split into float
+    planes by a jitted device-side op, never transferred to the host."""
+    import jax
+    import numpy as np
+
+    h_host = np.asarray(h)
+    # working precision follows the inputs (A0's dtype wins, then h's),
+    # falling back to the session default — so a complex64 chain stays
+    # complex64 even under global x64
+    if A0 is not None and jnp.asarray(A0).dtype in (jnp.complex64, jnp.float32):
+        ftype = jnp.float32
+    elif h_host.dtype in (np.float32, np.complex64):
+        ftype = jnp.float32
+    else:
+        ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    hre = jnp.asarray(np.ascontiguousarray(h_host.real), ftype)
+    him = jnp.asarray(np.ascontiguousarray(h_host.imag), ftype)
+
+    if A0 is None:
+        key = jax.random.PRNGKey(0) if key is None else key
+        k1, k2 = jax.random.split(key)
+        a0re = jax.random.normal(k1, (2, D, D), ftype)
+        a0im = jax.random.normal(k2, (2, D, D), ftype)
+    else:
+        a0re, a0im = jax.jit(
+            lambda A: (jnp.real(A).astype(ftype), jnp.imag(A).astype(ftype))
+        )(A0)
+
+    run = _vumps_program(D, iters, k)
+    AL, C, e, es, gs = run(a0re, a0im, hre, him)
     return AL, C, float(e), {"grad_norms": gs, "energies": es}
