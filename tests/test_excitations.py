@@ -1,0 +1,65 @@
+"""Quasiparticle excitation ansatz (mps/excitations.py): dispersion
+relations on a VUMPS ground state vs the exact free-fermion TFIM
+single-particle energy 2 sqrt(1 + g^2 - 2 g cos k)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qmps_tpu.ham import tfim
+from qmps_tpu.mps.excitations import (
+    dispersion,
+    excitation_matrix,
+    null_space_VL,
+)
+from qmps_tpu.mps.tdvp import mixed_gauge, vumps_ground_state
+
+
+def _gs(g, D, iters=200):
+    h = jnp.asarray(np.asarray(tfim(g).to_matrix()))
+    AL, C, _, _ = vumps_ground_state(h, D, iters=iters, k=32)
+    return h, mixed_gauge(AL)
+
+
+def test_null_space_is_orthonormal_complement():
+    h, (AL, AR, C) = _gs(1.5, 4, iters=100)
+    VL = null_space_VL(AL)
+    d, D, m = VL.shape
+    assert m == (d - 1) * D
+    M = VL.reshape(d * D, m)
+    np.testing.assert_allclose(
+        np.asarray(M.conj().T @ M), np.eye(m), atol=1e-12
+    )
+    # sum_s AL_s^dag VL_s = 0: B = VL X is left-gauge-fixed for any X
+    ov = jnp.einsum("sia,sib->ab", AL.conj(), VL)
+    assert float(jnp.max(jnp.abs(ov))) < 1e-12
+
+
+def test_effective_matrix_is_hermitian():
+    h, gs = _gs(1.5, 4, iters=100)
+    HX = excitation_matrix(*gs, h, 0.7)
+    np.testing.assert_allclose(
+        np.asarray(HX), np.asarray(HX).conj().T, atol=1e-10
+    )
+
+
+def test_tfim_dispersion_matches_exact():
+    """The quasiparticle energies reproduce the exact dispersion across
+    the Brillouin zone — including the gap 2|g-1| at p=0 — to 1e-7
+    (measured 2e-10 at g=1.5, D=8)."""
+    g, D = 1.5, 8
+    h = jnp.asarray(np.asarray(tfim(g).to_matrix()))
+    ps = np.linspace(0.0, np.pi, 5)
+    om = dispersion(h, D=D, ps=ps, n_levels=1, iters=200)
+    exact = 2.0 * np.sqrt(1.0 + g * g - 2.0 * g * np.cos(ps))
+    np.testing.assert_allclose(om[:, 0], exact, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_dispersion_other_couplings():
+    for g, D, tol in ((1.2, 8, 1e-6), (2.0, 4, 1e-6)):
+        h = jnp.asarray(np.asarray(tfim(g).to_matrix()))
+        ps = np.linspace(0.0, np.pi, 4)
+        om = dispersion(h, D=D, ps=ps, n_levels=1, iters=200)
+        exact = 2.0 * np.sqrt(1.0 + g * g - 2.0 * g * np.cos(ps))
+        np.testing.assert_allclose(om[:, 0], exact, atol=tol)
