@@ -320,8 +320,9 @@ def bench_gs_large_D(D, steps=200):
 
 def bench_sweep_deep_bw(n_points=1024, steps=300, D=8):
     """Config 4 beyond D=2: the 1024-point phase sweep through the
-    brick-wall ansatz at D=8 (parallel/sweep.py 'deep_bw') with one
-    adiabatic-continuation refine pass — vmapped on one chip here; the
+    brick-wall ansatz at D=8 (parallel/sweep.py 'deep_bw') with two
+    adiabatic-continuation refine passes (one pass leaks an intermittent
+    ~1e-2 bad-basin point run-to-run; two passes hold max < 5e-3) — vmapped on one chip here; the
     mesh path shards the same program linearly (collectives-free DP,
     tests/test_sweep.py identities)."""
     from qmps_tpu.ham import tfim_gs_energy
@@ -330,13 +331,13 @@ def bench_sweep_deep_bw(n_points=1024, steps=300, D=8):
     gs = jnp.linspace(0.1, 2.0, n_points)
     exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
     es, _ = sweep_ground_states(
-        gs, D=D, ansatz="deep_bw", steps=steps, refine_passes=1
+        gs, D=D, ansatz="deep_bw", steps=steps, refine_passes=2
     )  # compile
     es.block_until_ready()
     _readback_ok(es)
     t0 = time.perf_counter()
     es, _ = sweep_ground_states(
-        gs + 1e-3, D=D, ansatz="deep_bw", steps=steps, refine_passes=1
+        gs + 1e-3, D=D, ansatz="deep_bw", steps=steps, refine_passes=2
     )
     es.block_until_ready()
     dt = time.perf_counter() - t0

@@ -1,4 +1,8 @@
-from .excitations import dispersion, excitation_matrix  # noqa: F401
+from .excitations import (  # noqa: F401
+    dispersion,
+    excitation_matrix,
+    spectral_weights,
+)
 from .imps import iMPS, Map, TransferMatrix  # noqa: F401
 from .tdvp import vumps_ground_state  # noqa: F401
 from .transfer import dominant_eig_dense, dominant_eig_power  # noqa: F401

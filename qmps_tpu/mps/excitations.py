@@ -72,15 +72,17 @@ def _transfer_mats(AL, AR):
     return T, Tp
 
 
-def _deflated_solve(M, v_dom, phase, rhs_flat):
-    """(1 - phase * M_deflated)^{-1} rhs with the dominant direction
-    v_dom projected out of both the operator and the right-hand side
-    (pseudo-inverse convention: physical seeds are orthogonal to v_dom
-    by gauge fixing / energy subtraction; the projection removes the
+def _deflated_solve(M, v_dom, phase, rhs_flat, w_dom=None):
+    """(1 - phase * M_deflated)^{-1} rhs with the dominant eigen-direction
+    (right vector v_dom, left vector w_dom — defaults to v_dom) projected
+    out of both the operator and the right-hand side (pseudo-inverse
+    convention: physical seeds are orthogonal to the dominant pair by
+    gauge fixing / expectation subtraction; the projection removes the
     p -> 0 singular direction without changing them)."""
     n = M.shape[0]
-    v = v_dom / jnp.linalg.norm(v_dom)
-    P = jnp.outer(v, v.conj())
+    v = v_dom
+    w = v_dom if w_dom is None else w_dom
+    P = jnp.outer(v, w.conj()) / (w.conj() @ v)
     A = jnp.eye(n, dtype=M.dtype) - phase * (M - P)
     rhs = rhs_flat - P @ rhs_flat
     return jnp.linalg.solve(A, rhs)
@@ -160,6 +162,58 @@ def excitation_matrix(AL, AR, C, h, p: float) -> jnp.ndarray:
     basis = jnp.eye(nX, dtype=ctype)
     HX = jax.vmap(column)(basis).T
     return (HX + cT(HX)) / 2
+
+
+def excitation_overlaps(AL, AR, C, O, p: float) -> jnp.ndarray:
+    """o_X with o_X[a] = <Phi_p(V_L X_a)| O_p |GS> for the X-basis:
+    the one-particle matrix elements of the momentum-space operator
+    O_p = sum_n e^{ipn} O_n (O one-site, expectation-subtracted inside).
+
+    Diagram collapse mirrors excitation_matrix: with the ket center AC
+    placed at the bra-disturbance site, every O position RIGHT of it
+    dies by the bra's left gauge, leaving the on-site term plus a single
+    deflated geometric sum over the left AL/AL* transfer."""
+    d, D, _ = AL.shape
+    ctype = AL.dtype
+    O = O.astype(ctype)
+    r = C @ cT(C)
+    eO = jnp.einsum("st,tij,jk,sik->", O, AL, r, AL.conj())
+    Ot = O - eO * jnp.eye(d, dtype=ctype)
+    AC = jnp.einsum("sij,jk->sik", AL, C)
+    ph = jnp.exp(1j * jnp.asarray(p, jnp.zeros(0, ctype).real.dtype)).astype(ctype)
+
+    # on-site term (O at the bra site)
+    o = jnp.einsum("st,tij->sij", Ot, AC)
+    # O strictly left: seed l_O [bra, ket], transferred through the
+    # AL/AL* column (dominant pair: right vec(I), left vec(r))
+    l_O = jnp.einsum("st,sca,tcb->ab", Ot, AL.conj(), AL)
+    M_LL = sum(jnp.kron(cT(AL[s]), AL[s].T) for s in range(d))
+    L = _deflated_solve(
+        M_LL,
+        jnp.eye(D, dtype=ctype).reshape(-1),
+        1.0 / ph,
+        l_O.reshape(-1),
+        w_dom=r.reshape(-1),
+    ).reshape(D, D)
+    o = o + (1.0 / ph) * jnp.einsum("ib,sbj->sij", L, AC)
+
+    VL = null_space_VL(AL)
+    return jnp.einsum("sia,sij->aj", VL.conj(), o).reshape(-1)
+
+
+def spectral_weights(AL, AR, C, h, O, p: float, n_levels: int = 4):
+    """(omegas, weights): the lowest one-particle energies at momentum p
+    and their spectral weights |<Phi_p(i)| O_p |GS>|^2 — the delta-peak
+    strengths of the dynamical structure factor S(p, omega) within the
+    single-mode subspace.  Validated against the static structure factor
+    sum rule (tests/test_excitations.py)."""
+    import numpy as np
+
+    HX = np.asarray(excitation_matrix(AL, AR, C, h, p))
+    oX = np.asarray(excitation_overlaps(AL, AR, C, O, p))
+    evals, evecs = np.linalg.eigh(HX)
+    w = np.abs(evecs.conj().T @ oX) ** 2
+    return evals[:n_levels], w[:n_levels]
 
 
 def dispersion(h, D: int, ps, n_levels: int = 1, iters: int = 250,

@@ -63,3 +63,27 @@ def test_dispersion_other_couplings():
         om = dispersion(h, D=D, ps=ps, n_levels=1, iters=200)
         exact = 2.0 * np.sqrt(1.0 + g * g - 2.0 * g * np.cos(ps))
         np.testing.assert_allclose(om[:, 0], exact, atol=tol)
+
+
+def test_spectral_weights_sum_rule():
+    """One-particle spectral weights |<Phi_p|Z_p|GS>|^2 saturate the
+    static structure factor s(p) = C(0) + 2 sum_r cos(pr) C(r) to ~99%
+    at g=1.5 (the remainder is the 3-particle continuum), with the
+    lowest mode carrying essentially all of it."""
+    from qmps_tpu.core.paulis import Z
+    from qmps_tpu.mps.excitations import spectral_weights
+    from qmps_tpu.mps.imps import iMPS
+
+    g, D = 1.5, 8
+    h, gs = _gs(g, D, iters=200)
+    st = iMPS([gs[0]])
+    Zj = jnp.asarray(np.asarray(Z))
+    Cr = np.asarray(st.correlator(Zj, Zj, max_dist=60))
+    ez = float(np.real(np.asarray(st.E(Zj))))
+    for p in (0.5, 2.5):
+        om, w = spectral_weights(*gs, h, Zj, p, n_levels=6)
+        sp = (1.0 - ez ** 2) + 2 * np.sum(np.cos(p * np.arange(1, 61)) * Cr)
+        exact = 2 * np.sqrt(1 + g * g - 2 * g * np.cos(p))
+        assert abs(om[0] - exact) < 1e-6
+        assert w[0] / np.sum(w) > 0.999      # single mode dominates
+        assert 0.97 < np.sum(w) / sp <= 1.0  # sum rule (3-particle rest)
