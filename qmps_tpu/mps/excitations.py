@@ -229,13 +229,41 @@ def dispersion(h, D: int, ps, n_levels: int = 1, iters: int = 250,
 
     if gs is None:
         AL, C, _, _ = vumps_ground_state(h, D, iters=iters, k=k, A0=A0)
-        AL, AR, C = mixed_gauge(AL)
+        # jitted: eager complex ops fail on the axon TPU backend
+        AL, AR, C = jax.jit(mixed_gauge)(AL)
     else:
         AL, AR, C = gs
 
-    build = jax.jit(lambda p: excitation_matrix(AL, AR, C, jnp.asarray(h), p))
+    # the whole pipeline crosses the jit boundary as FLOAT PLANES: on the
+    # axon backend complex runtime args fail silently at execution, and a
+    # jit CLOSING OVER complex device arrays hits the same hole (the
+    # captured constants travel the same path) — root-caused by probing:
+    # every sub-kernel of this module ran standalone (state built
+    # in-program) and every one failed when closing over mixed_gauge's
+    # device outputs.  Readback is float planes too (complex D2H is
+    # unimplemented there).
+    # NOT jnp.zeros(0, AL.dtype).real.dtype: that is an EAGER complex op,
+    # which fails (silently, poisoning the process) on the axon backend
+    ftype = jnp.float32 if AL.dtype == jnp.complex64 else jnp.float64
+    split = jax.jit(lambda *xs: tuple(
+        q for x in xs for q in (jnp.real(x).astype(ftype), jnp.imag(x).astype(ftype))
+    ))
+    planes = split(AL, AR, C)
+    h_host = np.asarray(h)
+    hre = jnp.asarray(np.ascontiguousarray(h_host.real), ftype)
+    him = jnp.asarray(np.ascontiguousarray(h_host.imag), ftype)
+
+    @jax.jit
+    def build(alre, alim, arre, arim, cre, cim, hre, him, p):
+        c = jax.lax.complex
+        M = excitation_matrix(
+            c(alre, alim), c(arre, arim), c(cre, cim), c(hre, him), p
+        )
+        return jnp.real(M), jnp.imag(M)
+
     out = []
     for p in ps:
-        w = np.linalg.eigvalsh(np.asarray(build(float(p))))
-        out.append(w[:n_levels])
+        re, im = build(*planes, hre, him, jnp.asarray(float(p), ftype))
+        HX = np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
+        out.append(np.linalg.eigvalsh(HX)[:n_levels])
     return np.asarray(out)
