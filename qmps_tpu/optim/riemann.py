@@ -99,18 +99,22 @@ def isometry_energy(V, h, D: int, dense: bool, power_iters: int = 120):
     return jnp.einsum("ts,sij,jk,tik->", h.astype(A.dtype), A2, r, A2.conj()).real
 
 
-def isometry_energy_warm(V, h, D: int, r0, iters: int = 24):
+def isometry_energy_warm(V, h, D: int, r0, iters: int = 24, bwd: str = "auto"):
     """(energy, r): ``isometry_energy`` with environment recycling — the
     fixed point is warm-started at r0 (the previous optimizer step's
     environment) via ``transfer.right_eigpair_warm`` instead of being
     rebuilt from scratch.  The returned r is unit-Frobenius, fed back as
-    the next step's r0 (stop-gradient it at the call site)."""
+    the next step's r0 (stop-gradient it at the call site).  ``bwd``
+    selects the implicit-adjoint solver (see right_eigpair_warm); vmapped
+    consumers at D >= 16 must pass "gmres" — the "auto" LU branch
+    materializes a (D^2+1)^2 system PER BATCH ELEMENT (8.6 GB at D=32 for
+    a 1024-point sweep)."""
     from ..mps import transfer as tr
     from ..mps.imps import merge
 
     d = 2
     A = V.reshape(D, d, D).transpose(1, 0, 2)
-    _, r = tr.right_eigpair_warm(A, A, r0, iters)
+    _, r = tr.right_eigpair_warm(A, A, r0, iters, bwd)
     rh = (r + cT(r)) / 2
     rh = rh / jnp.trace(rh)
     A2 = merge(A, A)
