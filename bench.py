@@ -405,13 +405,19 @@ def bench_vumps(D=8, iters=250):
     # gauge-free f64 energy: the f32-rounded tensor is left-canonical only
     # to ~1e-7, so both fixed points enter (identity-l with a slightly
     # non-canonical A reported energies BELOW the exact bound)
+    def _herm(m):
+        # rotate the eig-arbitrary global phase away BEFORE hermitizing:
+        # (r + r^H)/2 of e^{i phi} r_true is cos(phi) r_true, which can
+        # collapse to ~0 and turn the energy ratio into 0/0
+        tr = np.trace(m)
+        m = m * (np.conj(tr) / abs(tr)) if abs(tr) > 1e-30 else m
+        return (m + m.conj().T) / 2
+
     E = np.einsum("sik,sjl->ijkl", A, A.conj()).reshape(D * D, D * D)
     w, v = np.linalg.eig(E)
-    r = v[:, np.argmax(np.abs(w))].reshape(D, D)
-    r = (r + r.conj().T) / 2
+    r = _herm(v[:, np.argmax(np.abs(w))].reshape(D, D))
     wl, vl = np.linalg.eig(E.conj().T)
-    l = vl[:, np.argmax(np.abs(wl))].reshape(D, D)
-    l = (l + l.conj().T) / 2
+    l = _herm(vl[:, np.argmax(np.abs(wl))].reshape(D, D))
     lam = np.max(np.abs(w))  # |dominant| of the (unnormalized) transfer
     A2 = np.einsum("sij,tjk->stik", A, A).reshape(4, D, D)
     h64 = np.asarray(tfim(1.0).to_matrix(), np.float64)

@@ -38,13 +38,25 @@ from qmps_tpu.mps.tdvp import vumps_ground_state
 def grow(AL, D_new: int, key, eps: float = 1e-3) -> jnp.ndarray:
     """Embed a (d, D, D) tensor in the corner of a (d, D_new, D_new) one,
     plus eps noise so the new directions are optimizable (the D -> 2D
-    warm start of scripts/bond_dimension.py, tensor-side)."""
+    warm start of scripts/bond_dimension.py, tensor-side).
+
+    Everything complex happens INSIDE one jit (AL enters as a runtime
+    arg, the noise as float draws): eager complex zeros / the host 1j
+    constant fail silently on the axon TPU backend (DESIGN.md rules
+    5/6/8)."""
     d, D, _ = AL.shape
-    A = jnp.zeros((d, D_new, D_new), AL.dtype).at[:, :D, :D].set(AL)
-    return A + eps * (
-        jax.random.normal(key, A.shape)
-        + 1j * jax.random.normal(jax.random.fold_in(key, 1), A.shape)
-    ).astype(AL.dtype)
+    ftype = jnp.float32 if AL.dtype == jnp.complex64 else jnp.float64
+    k1, k2 = jax.random.split(key)
+
+    def _embed(A, nre, nim):
+        out = jnp.zeros((d, D_new, D_new), A.dtype).at[:, :D, :D].set(A)
+        return out + eps * jax.lax.complex(nre, nim).astype(A.dtype)
+
+    return jax.jit(_embed)(
+        AL,
+        jax.random.normal(k1, (d, D_new, D_new), ftype),
+        jax.random.normal(k2, (d, D_new, D_new), ftype),
+    )
 
 
 def scaling_table(Ds=(4, 8, 12, 16), iters=300, g=1.0, key=None):

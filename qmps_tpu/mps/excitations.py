@@ -88,11 +88,14 @@ def _deflated_solve(M, v_dom, phase, rhs_flat, w_dom=None):
     return jnp.linalg.solve(A, rhs)
 
 
-def excitation_matrix(AL, AR, C, h, p: float) -> jnp.ndarray:
+def excitation_matrix(AL, AR, C, h, p: float, symmetrize: bool = True) -> jnp.ndarray:
     """Dense Hermitian H_X at momentum p: ((d-1) D^2, (d-1) D^2).
 
     Eigenvalues are the excitation energies omega(p) above the ground
-    state (h's extensive part is subtracted via the energy density)."""
+    state (h's extensive part is subtracted via the energy density).
+    symmetrize=False returns the raw diagram sum — Hermitian only up to
+    the ground state's convergence, which is what the Hermiticity TEST
+    asserts (the symmetrized return would make that check vacuous)."""
     d, D, _ = AL.shape
     nX = (d - 1) * D * D
     ctype = AL.dtype
@@ -161,7 +164,7 @@ def excitation_matrix(AL, AR, C, h, p: float) -> jnp.ndarray:
 
     basis = jnp.eye(nX, dtype=ctype)
     HX = jax.vmap(column)(basis).T
-    return (HX + cT(HX)) / 2
+    return (HX + cT(HX)) / 2 if symmetrize else HX
 
 
 def excitation_overlaps(AL, AR, C, O, p: float) -> jnp.ndarray:

@@ -457,13 +457,17 @@ def vumps_ground_state(h, D: int, iters: int = 150, k: int = 24, key=None,
     h_host = np.asarray(h)
     # working precision follows the inputs (A0's dtype wins, then h's),
     # falling back to the session default — so a complex64 chain stays
-    # complex64 even under global x64
-    if A0 is not None and jnp.asarray(A0).dtype in (jnp.complex64, jnp.float32):
-        ftype = jnp.float32
-    elif h_host.dtype in (np.float32, np.complex64):
-        ftype = jnp.float32
+    # complex64 even under global x64.  A0's dtype is read WITHOUT
+    # jnp.asarray: on the axon backend that would be a silent-failing
+    # complex host->device transfer for a host numpy A0 (rule 6)
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if A0 is not None:
+        a0_dtype = np.dtype(getattr(A0, "dtype", np.float64))
+        ftype = jnp.float32 if a0_dtype in (np.complex64, np.float32) else f64
     else:
-        ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        ftype = (
+            jnp.float32 if h_host.dtype in (np.float32, np.complex64) else f64
+        )
     hre = jnp.asarray(np.ascontiguousarray(h_host.real), ftype)
     him = jnp.asarray(np.ascontiguousarray(h_host.imag), ftype)
 
@@ -472,7 +476,15 @@ def vumps_ground_state(h, D: int, iters: int = 150, k: int = 24, key=None,
         k1, k2 = jax.random.split(key)
         a0re = jax.random.normal(k1, (2, D, D), ftype)
         a0im = jax.random.normal(k2, (2, D, D), ftype)
+    elif isinstance(A0, np.ndarray):
+        # host array: split on the HOST — a complex numpy array through
+        # jnp (transfer or jit arg) is the rule-6 silent failure
+        a0re = jnp.asarray(np.ascontiguousarray(A0.real), ftype)
+        a0im = jnp.asarray(np.ascontiguousarray(A0.imag), ftype)
     else:
+        # device array: split device-side (complex DEVICE arrays are fine
+        # as jit ARGUMENTS — DESIGN.md rule 8 — only transfers/closures
+        # are not)
         a0re, a0im = jax.jit(
             lambda A: (jnp.real(A).astype(ftype), jnp.imag(A).astype(ftype))
         )(A0)

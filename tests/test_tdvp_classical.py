@@ -258,14 +258,17 @@ class TestVUMPS:
         from qmps_tpu.ham.classical_baselines import heisenberg_exact_energy
         from qmps_tpu.mps.tdvp import vumps_ground_state
 
+        import os
+        import sys
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(__file__), "..", "examples")
+        )
+        from central_charge import grow
+
         hh = jnp.asarray(sublattice_rotate(heisenberg(1.0)))
         AL8, _, _, _ = vumps_ground_state(hh, 8, iters=300, k=32)
-        A0 = jnp.zeros((2, 16, 16), AL8.dtype).at[:, :8, :8].set(AL8)
-        k = jax.random.PRNGKey(3)
-        A0 = A0 + 1e-3 * (
-            jax.random.normal(k, A0.shape)
-            + 1j * jax.random.normal(jax.random.fold_in(k, 1), A0.shape)
-        ).astype(A0.dtype)
+        A0 = grow(AL8, 16, jax.random.PRNGKey(3))
         _, _, e, info = vumps_ground_state(hh, 16, iters=300, k=32, A0=A0)
         assert abs(e - heisenberg_exact_energy()) < 3e-4
         assert float(info["grad_norms"][-1]) < 1e-8
