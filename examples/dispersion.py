@@ -28,3 +28,19 @@ if __name__ == "__main__":
     print(f"{'k':>7} {'omega(k)':>12} {'exact':>12} {'delta':>10}")
     for p, w, e in zip(ps, om[:, 0], exact):
         print(f"{p:>7.4f} {w:>12.8f} {e:>12.8f} {w - e:>10.2e}")
+
+    # spectral weights: the S(k, omega) delta-peak strengths of the order
+    # operator Z — the one-particle band saturates the static structure
+    # factor to ~99% in the paramagnetic phase (CPU x64 path)
+    if jax.default_backend() == "cpu":
+        from qmps_tpu.core.paulis import Z
+        from qmps_tpu.mps import spectral_weights, vumps_ground_state
+        from qmps_tpu.mps.tdvp import mixed_gauge
+
+        AL, C, _, _ = vumps_ground_state(h, D, iters=250, k=32)
+        gs = mixed_gauge(AL)
+        Zj = jnp.asarray(np.asarray(Z))
+        print(f"\n{'k':>7} {'omega_0':>10} {'weight |<Phi|Z_k|0>|^2':>22}")
+        for p in (0.5, 1.5, 2.5):
+            omw, wt = spectral_weights(*gs, h, Zj, p, n_levels=1)
+            print(f"{p:>7.4f} {omw[0]:>10.6f} {wt[0]:>22.6f}")
