@@ -1,5 +1,6 @@
 from .excitations import (  # noqa: F401
     dispersion,
+    domain_wall_dispersion,
     excitation_matrix,
     spectral_weights,
 )

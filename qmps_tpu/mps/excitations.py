@@ -80,6 +80,8 @@ def _deflated_solve(M, v_dom, phase, rhs_flat, w_dom=None):
     gauge fixing / expectation subtraction; the projection removes the
     p -> 0 singular direction without changing them)."""
     n = M.shape[0]
+    if v_dom is None:  # no unit eigenvalue to remove (|spec(M)| < 1)
+        return jnp.linalg.solve(jnp.eye(n, dtype=M.dtype) - phase * M, rhs_flat)
     v = v_dom
     w = v_dom if w_dom is None else w_dom
     P = jnp.outer(v, w.conj()) / (w.conj() @ v)
@@ -88,14 +90,24 @@ def _deflated_solve(M, v_dom, phase, rhs_flat, w_dom=None):
     return jnp.linalg.solve(A, rhs)
 
 
-def excitation_matrix(AL, AR, C, h, p: float, symmetrize: bool = True) -> jnp.ndarray:
+def excitation_matrix(AL, AR, C, h, p: float, symmetrize: bool = True,
+                      deflate: bool = True) -> jnp.ndarray:
     """Dense Hermitian H_X at momentum p: ((d-1) D^2, (d-1) D^2).
 
     Eigenvalues are the excitation energies omega(p) above the ground
     state (h's extensive part is subtracted via the energy density).
     symmetrize=False returns the raw diagram sum — Hermitian only up to
     the ground state's convergence, which is what the Hermiticity TEST
-    asserts (the symmetrized return would make that check vacuous)."""
+    asserts (the symmetrized return would make that check vacuous).
+
+    TOPOLOGICAL (domain-wall) sector: pass AR (and the bra's right
+    tensors, implicitly the same) from a DIFFERENT degenerate ground
+    state — e.g. the global-X flip of AL's state in the ordered TFIM
+    phase — and deflate=False: the mixed AL/AR transfer then has
+    spectral radius < 1 (distinct states), so the geometric sums
+    converge without the dominant-pair projection, which would
+    otherwise remove a physical component (vec(C) is only an
+    eigenvector when AL and AR gauge the SAME state)."""
     d, D, _ = AL.shape
     nX = (d - 1) * D * D
     ctype = AL.dtype
@@ -107,8 +119,8 @@ def excitation_matrix(AL, AR, C, h, p: float, symmetrize: bool = True) -> jnp.nd
 
     VL = null_space_VL(AL)
     T, Tp = _transfer_mats(AL, AR)
-    vC = C.reshape(-1)
-    vCt = C.T.reshape(-1)
+    vC = C.reshape(-1) if deflate else None
+    vCt = C.T.reshape(-1) if deflate else None
     ph = jnp.exp(1j * jnp.asarray(p, jnp.zeros(0, ctype).real.dtype)).astype(ctype)
 
     def Xs_to_B(Xflat):
@@ -220,7 +232,7 @@ def spectral_weights(AL, AR, C, h, O, p: float, n_levels: int = 4):
 
 
 def dispersion(h, D: int, ps, n_levels: int = 1, iters: int = 250,
-               k: int = 32, A0=None, gs=None):
+               k: int = 32, A0=None, gs=None, deflate: bool = True):
     """omega(p) for each momentum in ps: (len(ps), n_levels).
 
     gs: optionally a pre-converged (AL, AR, C) triple; otherwise VUMPS
@@ -260,7 +272,8 @@ def dispersion(h, D: int, ps, n_levels: int = 1, iters: int = 250,
     def build(alre, alim, arre, arim, cre, cim, hre, him, p):
         c = jax.lax.complex
         M = excitation_matrix(
-            c(alre, alim), c(arre, arim), c(cre, cim), c(hre, him), p
+            c(alre, alim), c(arre, arim), c(cre, cim), c(hre, him), p,
+            deflate=deflate,
         )
         return jnp.real(M), jnp.imag(M)
 
@@ -270,3 +283,36 @@ def dispersion(h, D: int, ps, n_levels: int = 1, iters: int = 250,
         HX = np.asarray(re).astype(np.complex128) + 1j * np.asarray(im)
         out.append(np.linalg.eigvalsh(HX)[:n_levels])
     return np.asarray(out)
+
+
+def domain_wall_dispersion(h, D: int, ps, n_levels: int = 1,
+                           iters: int = 250, k: int = 32, flip=None,
+                           key=None):
+    """Dispersion of TOPOLOGICAL (domain-wall / kink) excitations in a
+    symmetry-broken phase: the ansatz interpolates two degenerate ground
+    states, |Phi_p(B)> = sum_n e^{ipn} |.. AL1 B_n AR2 ..> with state 2
+    = the on-site ``flip`` unitary (default: Pauli X, the Z2 flip of the
+    ordered TFIM phase) applied to state 1.  The bond matrices are
+    unchanged by an on-site unitary, so C is shared; the mixed transfer
+    has |spectrum| < 1 (distinct states) and the geometric sums run
+    undeflated.
+
+    Validated against the exact TFIM fermion dispersion in the ORDERED
+    phase (g < 1), where the fermions ARE the kinks
+    (tests/test_excitations.py)."""
+    import numpy as np
+
+    from .tdvp import vumps_ground_state
+
+    AL, C, _, _ = vumps_ground_state(h, D, iters=iters, k=k, key=key)
+    AL, AR, C = jax.jit(mixed_gauge)(AL)
+    if flip is None:
+        flip = np.array([[0.0, 1.0], [1.0, 0.0]])
+    fl = jnp.asarray(np.ascontiguousarray(np.asarray(flip).real))
+    # state 2 = flipped state 1 (real flip assumed; X is); jitted — eager
+    # complex einsum fails on the axon backend
+    AR2 = jax.jit(
+        lambda F, A: jnp.einsum("st,tij->sij", F.astype(A.dtype), A)
+    )(fl, AR)
+    return dispersion(h, D, ps, n_levels=n_levels, gs=(AL, AR2, C),
+                      deflate=False)

@@ -88,3 +88,18 @@ def test_spectral_weights_sum_rule():
         assert abs(om[0] - exact) < 1e-6
         assert w[0] / np.sum(w) > 0.999      # single mode dominates
         assert 0.97 < np.sum(w) / sp <= 1.0  # sum rule (3-particle rest)
+
+
+def test_domain_wall_dispersion_ordered_phase():
+    """Topological (kink) excitations in the ordered phase (g < 1): the
+    two-ground-state interpolating ansatz reproduces the exact fermion
+    dispersion — the kinks ARE the fermions there — with the standard
+    pi momentum offset of the domain-wall frame.  Gap 2|1-g| at p=pi."""
+    from qmps_tpu.mps.excitations import domain_wall_dispersion
+
+    g, D = 0.5, 8
+    h = jnp.asarray(np.asarray(tfim(g).to_matrix()))
+    ps = np.linspace(0.0, np.pi, 5)
+    om = domain_wall_dispersion(h, D=D, ps=ps, n_levels=1, iters=200)
+    exact = 2.0 * np.sqrt(1.0 + g * g - 2.0 * g * np.cos(ps + np.pi))
+    np.testing.assert_allclose(om[:, 0], exact, atol=1e-6)
