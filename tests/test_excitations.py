@@ -84,6 +84,10 @@ def test_spectral_weights_sum_rule():
     for p in (0.5, 2.5):
         om, w = spectral_weights(*gs, h, Zj, p, n_levels=6)
         sp = (1.0 - ez ** 2) + 2 * np.sum(np.cos(p * np.arange(1, 61)) * Cr)
+        # the public structure-factor API computes the same quantity
+        np.testing.assert_allclose(
+            float(st.static_structure_factor(Zj, p)), sp, atol=1e-10
+        )
         exact = 2 * np.sqrt(1 + g * g - 2 * g * np.cos(p))
         assert abs(om[0] - exact) < 1e-6
         assert w[0] / np.sum(w) > 0.999      # single mode dominates
