@@ -51,6 +51,13 @@ import os as _os  # noqa: E402
 if (
     _os.environ.get("QMPS_TPU_NO_JIT_CACHE", "0") != "1"
     and _os.environ.get("QMPS_TPU_X64", "1") == "0"
+    # a session pinned to CPU must NOT share this cache: XLA:CPU AOT
+    # entries are host-microarch-specific, and loading one compiled on a
+    # different machine risks SIGILL (observed cpu_aot_loader feature
+    # -mismatch warnings after a CPU session wrote entries here); the
+    # platform check is on the CONFIG, not jax.default_backend(), so no
+    # backend is initialized at import time
+    and jax.config.jax_platforms != "cpu"
 ):
     try:
         jax.config.update(
