@@ -1,5 +1,6 @@
 from .hamiltonian import (  # noqa: F401
     Hamiltonian,
+    block_two_site,
     heisenberg,
     scars_H,
     sublattice_rotate,

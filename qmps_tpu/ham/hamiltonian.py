@@ -135,6 +135,45 @@ def sublattice_rotate(h):
     return out.real if np.allclose(out.imag, 0) else out
 
 
+def block_two_site(h, h1=None):
+    """Blocked two-CELL Hamiltonian for a 2-site unit cell.
+
+    Sites ...|s0 s1|s2 s3|... are grouped into cells of two; a
+    nearest-neighbour chain H = sum_i h_{i,i+1} becomes a
+    nearest-neighbour chain of d^2-dimensional cells with the two-cell
+    bond term
+
+        h_blk = I_d (x) h (x) I_d              (the inter-cell bond)
+              + (h (x) I_{d^2} + I_{d^2} (x) h) / 2   (intra-cell, split
+                half-left / half-right so each cell's internal bond is
+                counted exactly once in sum_k h_blk(c_k, c_{k+1})).
+
+    An optional ONE-site term h1 (d x d, H1 = sum_i h1_i) is likewise
+    absorbed: per cell it is h1 (x) I + I (x) h1, spread half onto each
+    adjoining blocked bond.  The blocked energy density (per cell) is
+    exactly TWICE the per-site density of the original chain.
+
+    This is how the single-site VUMPS/TDVP machinery reaches states
+    with a two-site unit cell (Neel-ordered antiferromagnets, dimerized
+    phases) WITHOUT a multi-site solver: the blocked chain is uniform
+    even when the original state is only 2-periodic.  Complementary to
+    `sublattice_rotate` (a frame change that needs h's parity symmetry;
+    blocking needs nothing).  Returns a HOST numpy matrix."""
+    import numpy as np
+
+    h = np.asarray(as_host_matrix(h))
+    d = int(round(h.shape[0] ** 0.5))
+    Id, Id2 = np.eye(d), np.eye(d * d)
+    out = np.kron(Id, np.kron(h, Id)) + 0.5 * (
+        np.kron(h, Id2) + np.kron(Id2, h)
+    )
+    if h1 is not None:
+        h1 = np.asarray(as_host_matrix(h1))
+        cell1 = np.kron(h1, Id) + np.kron(Id, h1)
+        out = out + 0.5 * (np.kron(cell1, Id2) + np.kron(Id2, cell1))
+    return out.real if np.allclose(out.imag, 0) else out
+
+
 def scars_H(mu: float):
     """4-site PXP scars Hamiltonian (scars.py:22-25); returns the dense
     16x16 matrix as HOST numpy (see to_matrix)."""

@@ -5,5 +5,9 @@ from .excitations import (  # noqa: F401
     spectral_weights,
 )
 from .imps import iMPS, Map, TransferMatrix  # noqa: F401
-from .tdvp import vumps_ground_state  # noqa: F401
+from .tdvp import (  # noqa: F401
+    split_cell,
+    vumps_ground_state,
+    vumps_ground_state_cell2,
+)
 from .transfer import dominant_eig_dense, dominant_eig_power  # noqa: F401

@@ -38,8 +38,12 @@ def _two_site(X):
 
 
 def _h4(h):
-    """h[(uv),(st)] -> h4[u, v, s, t] (rows (u,v), cols (s,t))."""
-    return h.reshape(2, 2, 2, 2)
+    """h[(uv),(st)] -> h4[u, v, s, t] (rows (u,v), cols (s,t)); the
+    physical dimension is inferred from h's (static) shape, so the same
+    machinery serves spin chains (d=2) and BLOCKED two-site cells
+    (d=4, see ham.block_two_site)."""
+    d = int(round(h.shape[0] ** 0.5))
+    return h.reshape(d, d, d, d)
 
 
 def energy_density(AL, C, h):
@@ -472,10 +476,11 @@ def vumps_ground_state(h, D: int, iters: int = 150, k: int = 24, key=None,
     him = jnp.asarray(np.ascontiguousarray(h_host.imag), ftype)
 
     if A0 is None:
+        d = int(round(h_host.shape[0] ** 0.5))
         key = jax.random.PRNGKey(0) if key is None else key
         k1, k2 = jax.random.split(key)
-        a0re = jax.random.normal(k1, (2, D, D), ftype)
-        a0im = jax.random.normal(k2, (2, D, D), ftype)
+        a0re = jax.random.normal(k1, (d, D, D), ftype)
+        a0im = jax.random.normal(k2, (d, D, D), ftype)
     elif isinstance(A0, np.ndarray):
         # host array: split on the HOST — a complex numpy array through
         # jnp (transfer or jit arg) is the rule-6 silent failure
@@ -492,3 +497,56 @@ def vumps_ground_state(h, D: int, iters: int = 150, k: int = 24, key=None,
     run = _vumps_program(D, iters, k)
     AL, C, e, es, gs = run(a0re, a0im, hre, him)
     return AL, C, float(e), {"grad_norms": gs, "energies": es}
+
+
+def vumps_ground_state_cell2(h, D: int, iters: int = 150, k: int = 24,
+                             key=None, A0=None):
+    """Two-site unit-cell VUMPS by cell blocking.
+
+    Blocks the chain into d^2-dimensional cells (ham.block_two_site) and
+    runs the single-site solver on the blocked chain — this is how the
+    bare (un-rotated) antiferromagnets converge: their Neel-ordered
+    ground states are only 2-periodic, which stalls single-site VUMPS at
+    gradient norm O(1), but the blocked chain is uniform.  Returns
+    (AL_cell, C, e, info) with AL_cell of shape (d^2, D, D) — one tensor
+    per CELL — and e, info["energies"] already divided by 2, i.e. per
+    ORIGINAL site.  Split AL_cell into two site tensors with
+    `split_cell`.  A0, if given, must be a blocked (d^2, D, D) tensor."""
+    import numpy as np
+
+    from ..ham.hamiltonian import block_two_site
+
+    h_host = np.asarray(h)
+    hb = block_two_site(h_host)
+    # preserve the caller's working precision: vumps_ground_state infers
+    # f32-vs-f64 planes from h's dtype, and block_two_site promotes to
+    # float64 numpy
+    if h_host.dtype in (np.float32, np.complex64):
+        hb = hb.astype(np.complex64 if hb.dtype.kind == "c" else np.float32)
+    AL, C, e2, info = vumps_ground_state(hb, D, iters=iters, k=k, key=key,
+                                         A0=A0)
+    info = dict(info)
+    info["energies"] = info["energies"] / 2.0
+    return AL, C, e2 / 2.0, info
+
+
+def split_cell(A_cell, D_max: int | None = None):
+    """(A1, A2, s): split a blocked cell tensor (d^2, D, D) into two
+    site tensors A1 (d, D, m), A2 (d, m, D) by SVD of the bond inside
+    the cell; s are the internal-bond singular values (length m).
+
+    With D_max=None the split is EXACT (m = min(d*D, d*D) = d*D kept up
+    to numerical rank): einsum('sim,tmj->stij', A1, A2) reassembles
+    A_cell[(s t), i, j].  Passing D_max truncates the internal bond to
+    the D_max largest Schmidt directions of the cell's virtual cut."""
+    dd, Dl, Dr = A_cell.shape
+    d = int(round(dd ** 0.5))
+    M = A_cell.reshape(d, d, Dl, Dr).transpose(0, 2, 1, 3).reshape(
+        d * Dl, d * Dr
+    )
+    u, s, vh = jnp.linalg.svd(M, full_matrices=False)
+    m = s.shape[0] if D_max is None else min(D_max, s.shape[0])
+    sq = jnp.sqrt(s[:m]).astype(A_cell.dtype)
+    A1 = (u[:, :m] * sq[None, :]).reshape(d, Dl, m)
+    A2 = (sq[:, None] * vh[:m, :]).reshape(m, d, Dr).transpose(1, 0, 2)
+    return A1, A2, s[:m]
