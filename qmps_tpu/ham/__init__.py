@@ -5,6 +5,13 @@ from .hamiltonian import (  # noqa: F401
     scars_H,
     sublattice_rotate,
     tfim,
+    xxz,
     xy,
 )
-from .exact import loschmidt_rate, tfim_gs_energy, xy_gs_energy  # noqa: F401
+from .exact import (  # noqa: F401
+    loschmidt_rate,
+    tfim_gs_energy,
+    xxz_gs_energy,
+    xxz_staggered_magnetization,
+    xy_gs_energy,
+)

@@ -152,6 +152,40 @@ def itebd_gs_energy(
     return energy
 
 
+def ed_gs_energy(h2, L: int = 14, periodic: bool = True) -> float:
+    """Ground-state energy per site of H = sum_i h2_{i,i+1} for an
+    ARBITRARY Hermitian two-site term h2 ((d^2, d^2), bra-row
+    convention), via sparse Lanczos on an L-site chain — the generic
+    companion to the TFIM-specific `tfim_ed_energy` (same independent
+    numpy/scipy code path, no jax).  For gapped models L = 14 reaches
+    the thermodynamic limit to ~1e-6; at criticality expect ~1e-3
+    finite-size error."""
+    import scipy.sparse.linalg as spla
+
+    h2 = np.asarray(h2)
+    h2 = h2.astype(np.complex128 if np.iscomplexobj(h2) else np.float64)
+    d = int(round(h2.shape[0] ** 0.5))
+    h4 = h2.reshape(d, d, d, d)
+    dim = d**L
+    bonds = [(i, i + 1) for i in range(L - 1)]
+    if periodic:
+        bonds.append((L - 1, 0))
+
+    def matvec(v):
+        psi = v.reshape((d,) * L)
+        w = np.zeros_like(psi)
+        for i, j in bonds:
+            t = np.moveaxis(psi, (i, j), (0, 1))
+            t = np.tensordot(h4, t, axes=([2, 3], [0, 1]))
+            w += np.moveaxis(t, (0, 1), (i, j))
+        return w.reshape(-1)
+
+    op = spla.LinearOperator((dim, dim), matvec=matvec, dtype=h2.dtype)
+    w = spla.eigsh(op, k=1, which="SA", return_eigenvectors=False,
+                   maxiter=5000)
+    return float(w[0]) / L
+
+
 def heisenberg_exact_energy(J: float = 1.0) -> float:
     """Bethe-ansatz ground energy per bond of the infinite spin-1/2
     Heisenberg chain in the PAULI convention H = J sum (XX + YY + ZZ):

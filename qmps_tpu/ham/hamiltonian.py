@@ -109,6 +109,14 @@ def heisenberg(J: float = 1.0) -> Hamiltonian:
     return Hamiltonian({"XX": J, "YY": J, "ZZ": J})
 
 
+def xxz(delta: float, J: float = 1.0) -> Hamiltonian:
+    """Anisotropic Heisenberg H = J sum (XX + YY + delta ZZ): critical
+    for |delta| <= 1, gapped Neel-ordered (spontaneously broken Z2
+    sublattice symmetry) for delta > 1 — the minimal model whose ground
+    state NEEDS the two-site unit cell machinery (block_two_site)."""
+    return Hamiltonian({"XX": J, "YY": J, "ZZ": J * delta})
+
+
 def sublattice_rotate(h):
     """h' = (I (x) R) h (I (x) R)^dag with R = exp(-i pi Y / 2): the
     odd-site sublattice rotation (X -> -X, Z -> -Z, Y -> Y).

@@ -107,3 +107,26 @@ def test_domain_wall_dispersion_ordered_phase():
     om = domain_wall_dispersion(h, D=D, ps=ps, n_levels=1, iters=200)
     exact = 2.0 * np.sqrt(1.0 + g * g - 2.0 * g * np.cos(ps + np.pi))
     np.testing.assert_allclose(om[:, 0], exact, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_heisenberg_spinon_dispersion_via_cell2():
+    """Des Cloizeaux-Pearson spinon edge from the BLOCKED Heisenberg
+    chain: the quasiparticle ansatz on 2-site cells (ham.block_two_site,
+    no sublattice rotation) at cell momentum kappa targets physical
+    momentum k = kappa/2, and the lowest triplet branch approaches the
+    exact two-spinon lower edge 2 pi |sin k| (dCP 1962; factor from the
+    XX+YY+ZZ = 4 S.S normalization) FROM ABOVE — measured +0.7% at D=8."""
+    from qmps_tpu.ham import block_two_site, heisenberg
+    from qmps_tpu.mps.excitations import dispersion
+
+    hb = jnp.asarray(block_two_site(np.asarray(heisenberg().to_matrix())))
+    ps = np.array([np.pi / 2, np.pi, 3 * np.pi / 2])
+    es = np.asarray(dispersion(hb, 8, ps, n_levels=1, iters=250)).ravel()
+    exact = 2.0 * np.pi * np.abs(np.sin(ps / 2.0))
+    # one-mode ansatz sits above the continuum edge, converging with D
+    assert np.all(es >= exact - 1e-6)
+    np.testing.assert_allclose(es, exact, rtol=2e-2)
+    # the two dCP branches (k, k+pi) are degenerate: kappa and 2pi-kappa
+    # must agree to solver precision
+    assert abs(es[0] - es[2]) < 1e-6

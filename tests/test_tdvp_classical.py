@@ -383,3 +383,66 @@ class TestVUMPSCell2:
         _, _, e, info = vumps_ground_state_cell2(hh, 8, iters=250)
         assert abs(e - heisenberg_exact_energy()) < 2e-3
         assert float(info["grad_norms"][-1]) < 1e-4
+
+
+class TestXXZNeelPhase:
+    """The gapped Neel phase of the XXZ chain (delta > 1): the model
+    whose ground state NEEDS the two-site unit cell, validated against
+    two INTEGRABLE oracles the reference never had — the Yang-Yang
+    ground energy and Baxter's spontaneous staggered magnetization."""
+
+    def test_oracle_limits(self):
+        from qmps_tpu.ham import xxz_gs_energy, xxz_staggered_magnetization
+        from qmps_tpu.ham.classical_baselines import heisenberg_exact_energy
+
+        # lam -> 0 recovers the Bethe Heisenberg value
+        assert abs(xxz_gs_energy(1.0 + 1e-6) - heisenberg_exact_energy()) < 1e-5
+        # Ising limit: e -> -delta + O(1/delta), m_s -> 1
+        assert abs(xxz_gs_energy(50.0) + 50.0) < 0.1
+        assert 0.999 < xxz_staggered_magnetization(50.0) < 1.0
+        with pytest.raises(ValueError):
+            xxz_gs_energy(0.5)
+
+    def test_generic_ed_matches_tfim_ed(self):
+        from qmps_tpu.ham.classical_baselines import (
+            ed_gs_energy,
+            tfim_ed_energy,
+        )
+
+        e_gen = ed_gs_energy(np.asarray(tfim(1.3).to_matrix()), L=10)
+        assert abs(e_gen - tfim_ed_energy(L=10, g=1.3)) < 1e-10
+
+    @pytest.mark.slow
+    def test_cell2_vumps_hits_yang_yang_and_baxter(self):
+        """cell-blocked VUMPS at delta=2: energy to the Yang-Yang value
+        (1e-6 at D=16), staggered magnetization to Baxter's product
+        formula (5e-4 at D=8, finite-D slightly ENHANCES the order as
+        it must), opposite signs on the two sublattices."""
+        from qmps_tpu.ham import (
+            xxz,
+            xxz_gs_energy,
+            xxz_staggered_magnetization,
+        )
+        from qmps_tpu.mps import iMPS, vumps_ground_state_cell2
+
+        h = jnp.asarray(np.asarray(xxz(2.0).to_matrix()))
+        e_exact = xxz_gs_energy(2.0)
+
+        AL8, _, e8, info8 = vumps_ground_state_cell2(h, 8, iters=200)
+        assert float(info8["grad_norms"][-1]) < 1e-8
+        assert e8 >= e_exact - 1e-9  # variational
+        assert e8 - e_exact < 5e-5
+
+        _, _, e16, info16 = vumps_ground_state_cell2(h, 16, iters=200)
+        assert e16 >= e_exact - 1e-9
+        assert e16 - e_exact < 5e-6
+
+        Z = np.diag([1.0, -1.0])
+        I2 = np.eye(2)
+        st = iMPS([AL8])
+        m_even = float(st.E(jnp.asarray(np.kron(Z, I2))).real)
+        m_odd = float(st.E(jnp.asarray(np.kron(I2, Z))).real)
+        ms = xxz_staggered_magnetization(2.0)
+        assert abs(m_even + m_odd) < 1e-6  # opposite sublattices
+        assert abs(abs(m_even) - ms) < 1e-3
+        assert abs(m_even) >= ms - 1e-6  # finite D enhances order
