@@ -157,9 +157,16 @@ def ed_gs_energy(h2, L: int = 14, periodic: bool = True) -> float:
     ARBITRARY Hermitian two-site term h2 ((d^2, d^2), bra-row
     convention), via sparse Lanczos on an L-site chain — the generic
     companion to the TFIM-specific `tfim_ed_energy` (same independent
-    numpy/scipy code path, no jax).  For gapped models L = 14 reaches
-    the thermodynamic limit to ~1e-6; at criticality expect ~1e-3
-    finite-size error."""
+    numpy/scipy code path, no jax).
+
+    Finite-size accuracy is GAP- and STRUCTURE-dependent, not a fixed
+    figure: gapped TFIM reaches the thermodynamic limit to ~1e-6 at
+    L=14, but the Neel-ordered XXZ phase converges slowly (measured
+    1.2e-2 at L=14, 7.8e-3 at L=16 for delta=2 vs the Yang-Yang value —
+    periodic rings gain energy from the cat-state splitting of the
+    broken sublattice symmetry).  For symmetry-broken phases prefer the
+    integrable oracles (`exact.xxz_gs_energy`) or treat ed_gs_energy as
+    a LOWER bracket at finite L."""
     import scipy.sparse.linalg as spla
 
     h2 = np.asarray(h2)

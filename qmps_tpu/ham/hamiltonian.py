@@ -179,7 +179,14 @@ def block_two_site(h, h1=None):
         h1 = np.asarray(as_host_matrix(h1))
         cell1 = np.kron(h1, Id) + np.kron(Id, h1)
         out = out + 0.5 * (np.kron(cell1, Id2) + np.kron(Id2, cell1))
-    return out.real if np.allclose(out.imag, 0) else out
+    if not np.iscomplexobj(out):
+        return out
+    # realify only when the imaginary part is pure roundoff RELATIVE to
+    # the matrix scale — np.allclose's absolute 1e-8 would silently
+    # delete a genuinely weak coupling (wrong Hamiltonian, plausible
+    # results; same guard class as itebd_gs_energy's)
+    scale = max(1.0, float(np.max(np.abs(out))))
+    return out.real if np.max(np.abs(out.imag)) <= 1e-12 * scale else out
 
 
 def scars_H(mu: float):

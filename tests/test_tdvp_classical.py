@@ -362,12 +362,31 @@ class TestVUMPSCell2:
         np.testing.assert_allclose(
             np.asarray(rec), np.asarray(AL), atol=1e-12
         )
-        # truncated split keeps the D_max largest internal directions
+        # truncated split keeps the largest SCHMIDT directions of the
+        # internal cut (environment-weighted SVD, not the bare tensor's)
+        _, _, s_full = split_cell(AL, D_max=8)
+        np.testing.assert_allclose(float(jnp.sum(s_full**2)), 1.0, atol=1e-10)
         A1t, A2t, st = split_cell(AL, D_max=4)
         assert A1t.shape == (2, 4, 4) and st.shape == (4,)
         np.testing.assert_allclose(
-            np.asarray(st), np.asarray(s[:4]), atol=1e-12
+            np.asarray(st), np.asarray(s_full[:4]), atol=1e-12
         )
+        # the truncation is OPTIMAL in the physical norm: the r-weighted
+        # reconstruction error equals the dropped Schmidt weight
+        import qmps_tpu.mps.transfer as tr
+        from qmps_tpu.core.linalg import cT
+        from qmps_tpu.mps.imps import _cholesky_psd
+
+        rec4 = jnp.einsum("sim,tmj->stij", A1t, A2t).reshape(AL.shape)
+        _, r = tr.right_fixed_point(AL, AL)
+        r = (r + cT(r)) / 2
+        r = r / jnp.trace(r)
+        F = _cholesky_psd(r)
+        err_w = float(
+            jnp.linalg.norm(jnp.einsum("sij,jk->sik", rec4 - AL, F))
+        )
+        drop = float(jnp.sqrt(jnp.sum(s_full[4:] ** 2)))
+        np.testing.assert_allclose(err_w, drop, rtol=1e-8)
 
     @pytest.mark.slow
     def test_bare_heisenberg_converges_via_cell2(self):
