@@ -465,3 +465,38 @@ class TestXXZNeelPhase:
         assert abs(m_even + m_odd) < 1e-6  # opposite sublattices
         assert abs(abs(m_even) - ms) < 1e-3
         assert abs(m_even) >= ms - 1e-6  # finite D enhances order
+
+
+@pytest.mark.slow
+def test_neel_quench_tracks_exact_evolution():
+    """Nonequilibrium composition test: the Neel product state evolved
+    under Heisenberg via BLOCKED-cell TDVP (d=4, D=16, RK4) tracks the
+    exact staggered-magnetization relaxation — sign change near t=0.33
+    and minimum near t=0.5 (the Barmettler scenario).  Anchors are RK4
+    full-state evolution on an L=14 ring (examples/neel_quench.py's
+    ed_staggered; light cone safely inside the ring for t <= 0.8)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from neel_quench import neel_cell_state
+
+    from qmps_tpu.ham import block_two_site, heisenberg
+    from qmps_tpu.mps.tdvp import Trajectory
+
+    ms_ed = np.array(
+        [1.0, 0.84829, 0.48173, 0.09771, -0.13814, -0.18342, -0.10542,
+         -0.00378, 0.05627]
+    )
+    h2 = np.asarray(heisenberg().to_matrix()).real
+    traj = Trajectory(neel_cell_state(16), jnp.asarray(block_two_site(h2)))
+    traj.rk4int(0.8, 320)
+    Z, I2 = np.diag([1.0, -1.0]), np.eye(2)
+    op = jnp.asarray((np.kron(Z, I2) - np.kron(I2, Z)) / 2)
+    sel = np.linspace(0, 320, 9).astype(int)
+    ms = np.array([float(iMPS([traj.ALs[i]]).E(op).real) for i in sel])
+    assert np.max(np.abs(ms - ms_ed)) < 0.02
+    # entanglement grows monotonically after the quench (and is the
+    # reason fixed-D TDVP eventually departs)
+    S = [float(iMPS([traj.ALs[i]]).entanglement_entropy()) for i in (40, 160, 320)]
+    assert S[0] < S[1] < S[2]
