@@ -55,17 +55,36 @@ def energy_density(AL, C, h):
     ).real
 
 
-def _solve_left_env(AL, r, rhs):
+def _solve_left_env(AL, r, rhs, solver: str = "dense", k: int = 48,
+                    restarts: int = 8):
     """x solving  x - E_L(x) + tr(x r) I = rhs  (E_L(x) = sum AL^dag x AL);
-    the rank-1 term removes the unit eigenvalue so the system is regular."""
+    the rank-1 term removes the unit eigenvalue so the system is regular.
+
+    solver="dense" materializes the (D^2, D^2) matrix — O(D^6), fine to
+    D ~ 16-32 and cheap to differentiate; solver="gmres" runs the
+    fixed-shape restarted GMRES on the matvec (O(d D^3) per step),
+    which is what makes VUMPS at D = 32-64 tractable."""
     D = AL.shape[1]
+    if solver == "gmres":
+        from ..core.krylov import gmres_solve
+
+        eye = jnp.eye(D, dtype=AL.dtype)
+
+        def mv(v):
+            x = v.reshape(D, D)
+            ELx = jnp.einsum("sia,sjb,ij->ab", AL.conj(), AL, x)
+            return (x - ELx + jnp.trace(x @ r) * eye).reshape(-1)
+
+        x, _ = gmres_solve(mv, rhs.reshape(-1), k=k, restarts=restarts)
+        return x.reshape(D, D)
     EL = jnp.einsum("sia,sjb->abij", AL.conj(), AL).reshape(D * D, D * D)
     corr = jnp.outer(jnp.eye(D, dtype=AL.dtype).reshape(-1), r.T.reshape(-1))
     M = jnp.eye(D * D, dtype=AL.dtype) - EL + corr
     return jnp.linalg.solve(M, rhs.reshape(-1)).reshape(D, D)
 
 
-def _solve_right_env(AR, l, rhs):
+def _solve_right_env(AR, l, rhs, solver: str = "dense", k: int = 48,
+                     restarts: int = 8):
     """x solving  x - E_R(x) + tr(l x) I = rhs  (E_R(x) = sum AR x AR^dag).
 
     The rank-1 row is the functional x -> tr(l x) in row-major vec form:
@@ -73,17 +92,32 @@ def _solve_right_env(AR, l, rhs):
     load-bearing (l.flat encodes tr(l^T x); for complex l the difference
     shifted HR by a complex multiple of I.  It cancelled in dA_dt's
     dAC - AL dC, which is why the TDVP trajectories were right, but any
-    direct consumer of HR / H_C saw the shift)."""
+    direct consumer of HR / H_C saw the shift).  See _solve_left_env for
+    the dense/gmres split."""
     D = AR.shape[1]
+    if solver == "gmres":
+        from ..core.krylov import gmres_solve
+
+        eye = jnp.eye(D, dtype=AR.dtype)
+
+        def mv(v):
+            x = v.reshape(D, D)
+            ERx = jnp.einsum("sai,sbj,ij->ab", AR, AR.conj(), x)
+            return (x - ERx + jnp.trace(l @ x) * eye).reshape(-1)
+
+        x, _ = gmres_solve(mv, rhs.reshape(-1), k=k, restarts=restarts)
+        return x.reshape(D, D)
     ER = jnp.einsum("sai,sbj->abij", AR, AR.conj()).reshape(D * D, D * D)
     corr = jnp.outer(jnp.eye(D, dtype=AR.dtype).reshape(-1), l.T.reshape(-1))
     M = jnp.eye(D * D, dtype=AR.dtype) - ER + corr
     return jnp.linalg.solve(M, rhs.reshape(-1)).reshape(D, D)
 
 
-def hamiltonian_environments(AL, AR, C, h):
+def hamiltonian_environments(AL, AR, C, h, env_solver: str = "dense"):
     """(HL, HR, e): summed Hamiltonian environments left/right of a site,
-    extensive part (energy density e) subtracted."""
+    extensive part (energy density e) subtracted.  env_solver selects
+    the geometric-sum linear solver: "dense" (O(D^6), differentiable,
+    D <= ~32) or "gmres" (O(d D^3) per step; the D = 32-64 VUMPS path)."""
     h4 = _h4(h)
     r = C @ cT(C)
     l = cT(C) @ C
@@ -94,12 +128,12 @@ def hamiltonian_environments(AL, AR, C, h):
     hL = jnp.einsum("uvia,stib,uvst->ab", AL2.conj(), AL2, h4)
     e = jnp.trace(hL @ r).real
     hL = hL - e * jnp.eye(hL.shape[0], dtype=hL.dtype)
-    HL = _solve_left_env(AL, r, hL)
+    HL = _solve_left_env(AL, r, hL, solver=env_solver)
 
     # contribution of h on the two sites immediately right (boundary = I):
     hR = jnp.einsum("stak,uvbk,uvst->ab", AR2, AR2.conj(), h4)
     hR = hR - jnp.trace(l @ hR) * jnp.eye(hR.shape[0], dtype=hR.dtype)
-    HR = _solve_right_env(AR, l, hR)
+    HR = _solve_right_env(AR, l, hR, solver=env_solver)
     return HL, HR, e
 
 
@@ -362,7 +396,7 @@ def _polar_right_rows(M):
     return u @ vh
 
 
-def vumps_step(AL, AR, C, h, k: int = 24):
+def vumps_step(AL, AR, C, h, k: int = 24, env_solver: str = "dense"):
     """One VUMPS iteration: ground eigenvectors of H_AC and H_C at fixed
     Hamiltonian environments, then gauge re-extraction
 
@@ -374,7 +408,7 @@ def vumps_step(AL, AR, C, h, k: int = 24):
     is the tangent-space gradient norm (zero exactly at the variational
     optimum), evaluated at the INCOMING state."""
     d, D, _ = AL.shape
-    HL, HR, e = hamiltonian_environments(AL, AR, C, h)
+    HL, HR, e = hamiltonian_environments(AL, AR, C, h, env_solver=env_solver)
     h_shift = h - e * jnp.eye(h.shape[0], dtype=h.dtype)
     AC = jnp.einsum("sij,jk->sik", AL, C)
 
@@ -414,7 +448,7 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=32)
-def _vumps_program(D: int, iters: int, k: int):
+def _vumps_program(D: int, iters: int, k: int, env_solver: str = "dense"):
     """One compiled VUMPS program per configuration.  Everything —
     gauge fixing included — runs INSIDE the jit: on the axon TPU backend
     eager complex ops fail outright and complex arrays as runtime jit
@@ -431,25 +465,41 @@ def _vumps_program(D: int, iters: int, k: int):
 
         def body(carry, _):
             AL, AR, C = carry
-            AL, AR, C, e, g = vumps_step(AL, AR, C, hc, k)
+            AL, AR, C, e, g = vumps_step(AL, AR, C, hc, k,
+                                         env_solver=env_solver)
             return (AL, AR, C), (e, g)
 
         (AL, AR, C), (es, gs) = jax.lax.scan(
             body, (AL, AR, C), None, length=iters
         )
-        _, _, e = hamiltonian_environments(AL, AR, C, hc)
+        # final energy at the RETURNED AL's TRUE right fixed point — the
+        # in-iteration estimator tr(h_L C C^dag) assumes C C^dag is AL's
+        # fixed point, which only holds at convergence: at grad ~2e-3 it
+        # reported energies BELOW the exact ground energy (measured
+        # -2e-5 at D=32 where the true returned-state error is +5.7e-6).
+        # es keeps the cheap estimator as a convergence history.
+        _, rT = tr.right_fixed_point(AL, AL)
+        rT = (rT + cT(rT)) / 2
+        rT = rT / jnp.trace(rT)
+        AL2 = _two_site(AL)
+        e = jnp.einsum(
+            "uvia,stib,ba,uvst->", AL2.conj(), AL2, rT, _h4(hc)
+        ).real
         return AL, C, e, es, gs
 
     return run
 
 
 def vumps_ground_state(h, D: int, iters: int = 150, k: int = 24, key=None,
-                       A0=None):
+                       A0=None, env_solver: str = "auto"):
     """D-optimal uMPS ground state of the two-site Hamiltonian h by VUMPS.
 
     Returns (AL, C, energy, info) with info = {"grad_norms": (iters,),
-    "energies": (iters,)}; energy is the final state's (one extra
-    environment solve).  Fixed iteration count keeps the whole solver one
+    "energies": (iters,)}; energy is evaluated at the returned AL's
+    TRUE transfer fixed point (strictly variational even when the run
+    stops before machine convergence), while info["energies"] is the
+    cheap in-iteration estimator tr(h_L C C^dag) — a convergence
+    history, biased when grad > 0.  Fixed iteration count keeps the whole solver one
     compiled lax.scan program per (D, iters, k) — check
     info["grad_norms"][-1] for convergence; ~1e-6 by iteration 100 at
     D=8, g=1 in f64.  A0 (e.g. a lower-D solution grown by bond
@@ -494,7 +544,12 @@ def vumps_ground_state(h, D: int, iters: int = 150, k: int = 24, key=None,
             lambda A: (jnp.real(A).astype(ftype), jnp.imag(A).astype(ftype))
         )(A0)
 
-    run = _vumps_program(D, iters, k)
+    if env_solver == "auto":
+        # dense geometric-sum solves are O(D^6): past D ~ 24 the
+        # fixed-shape restarted GMRES (O(d D^3) per step) wins and is
+        # the only tractable route at D = 64
+        env_solver = "dense" if D <= 24 else "gmres"
+    run = _vumps_program(D, iters, k, env_solver)
     AL, C, e, es, gs = run(a0re, a0im, hre, him)
     return AL, C, float(e), {"grad_norms": gs, "energies": es}
 

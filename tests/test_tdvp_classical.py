@@ -500,3 +500,72 @@ def test_neel_quench_tracks_exact_evolution():
     # reason fixed-D TDVP eventually departs)
     S = [float(iMPS([traj.ALs[i]]).entanglement_entropy()) for i in (40, 160, 320)]
     assert S[0] < S[1] < S[2]
+
+
+class TestVUMPSLargeD:
+    """The GMRES environment path: O(d D^3) geometric-sum solves that
+    make VUMPS tractable at D = 32-64 (the dense (D^2, D^2) solve is
+    O(D^6))."""
+
+    def test_gmres_environments_match_dense(self, key):
+        from qmps_tpu.mps.tdvp import hamiltonian_environments, mixed_gauge
+
+        AL, AR, C = mixed_gauge(iMPS.random(key, 2, 8)[0])
+        h = jnp.asarray(np.asarray(tfim(1.0).to_matrix()))
+        HLd, HRd, ed = hamiltonian_environments(AL, AR, C, h, env_solver="dense")
+        HLg, HRg, eg = hamiltonian_environments(AL, AR, C, h, env_solver="gmres")
+        assert float(jnp.max(jnp.abs(HLd - HLg))) < 1e-10
+        assert float(jnp.max(jnp.abs(HRd - HRg))) < 1e-10
+        assert abs(float(ed) - float(eg)) < 1e-12
+
+    def test_vumps_gmres_converges_like_dense(self):
+        from qmps_tpu.mps.tdvp import vumps_ground_state
+
+        h = jnp.asarray(np.asarray(tfim(1.0).to_matrix()))
+        _, _, e, info = vumps_ground_state(h, 8, iters=150, env_solver="gmres")
+        e_exact = float(tfim_gs_energy(1.0))
+        assert float(info["grad_norms"][-1]) < 1e-10
+        assert 0 <= e - e_exact < 1e-5
+
+    def test_reported_energy_is_returned_states(self):
+        """Regression (the round-2 'best-of-history' defect class): at a
+        NON-converged stop the in-iteration estimator tr(h_L C C^dag)
+        reported energies BELOW the exact ground energy; the returned
+        energy must be the returned AL's true fixed-point energy."""
+        from qmps_tpu.mps.tdvp import vumps_ground_state
+
+        h = jnp.asarray(np.asarray(tfim(1.0).to_matrix()))
+        # deliberately under-converged run
+        AL, C, e, info = vumps_ground_state(h, 8, iters=12)
+        e_true = float(iMPS([AL]).energy(h).real)
+        assert abs(e - e_true) < 1e-12
+        assert e >= float(tfim_gs_energy(1.0)) - 1e-9  # variational
+
+    @pytest.mark.slow
+    def test_vumps_D32_critical(self):
+        """D=32 at the critical point via the auto (GMRES) path, grown
+        D=8 -> 16 -> 32: returned-state error < 5e-5 and the reported
+        energy matches the returned state to machine precision."""
+        import os
+        import sys
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(__file__), "..", "examples")
+        )
+        from central_charge import grow
+
+        from qmps_tpu.mps.tdvp import vumps_ground_state
+
+        h = jnp.asarray(np.asarray(tfim(1.0).to_matrix()))
+        e_exact = float(tfim_gs_energy(1.0))
+        AL8, _, _, _ = vumps_ground_state(h, 8, iters=150)
+        AL16, _, _, _ = vumps_ground_state(
+            h, 16, iters=150, A0=grow(AL8, 16, jax.random.PRNGKey(3))
+        )
+        AL32, _, e32, _ = vumps_ground_state(
+            h, 32, iters=80, A0=grow(AL16, 32, jax.random.PRNGKey(4))
+        )
+        # 80 iters at criticality lands at 6e-6..3e-5 depending on the
+        # XLA codegen environment (the suite runs optimization level 0)
+        assert 0 <= e32 - e_exact < 5e-5
+        assert abs(e32 - float(iMPS([AL32]).energy(h).real)) < 1e-11
