@@ -46,6 +46,26 @@ def _optimize_one(g, p0, build, steps: int, lr: float):
     return loss(p), p
 
 
+def _recycled_loss_env(build, D: int):
+    """(p, r, iters) -> (energy, r_new) with the warm fixed-point solver —
+    shared by the recycled per-point optimizer and the refine-pass
+    evaluator so both report energies from the same solve."""
+    from ..embed.unitaries import unitary_to_tensor
+    from ..optim.riemann import isometry_energy_warm
+
+    # the LU bordered adjoint materializes a (D^2+1)^2 system per batch
+    # element under vmap (8.6 GB for a 1024-point sweep at D=32): switch
+    # to the matvec GMRES form once the per-point system stops being small
+    bwd = "gmres" if D >= 16 else "auto"
+
+    def loss_env(h, p, r, iters):
+        A = unitary_to_tensor(build(p))
+        V = A.transpose(1, 0, 2).reshape(2 * D, D)  # rows (i, s)
+        return isometry_energy_warm(V, h, D, r, iters, bwd)
+
+    return loss_env
+
+
 def _optimize_one_recycled(g, p0, build, D: int, steps: int, lr: float,
                            recycle_iters: int = 24, final_iters: int = 200):
     """_optimize_one with environment recycling: the fixed point rides the
@@ -57,27 +77,33 @@ def _optimize_one_recycled(g, p0, build, D: int, steps: int, lr: float,
     returned energy is a boosted ``final_iters`` evaluation at the
     returned parameters, never the recycled residual."""
     from ..algorithms.ground_state import _recycled_opt_scan_core, _recycled_r0
-    from ..embed.unitaries import unitary_to_tensor
-    from ..optim.riemann import isometry_energy_warm
 
     h = tfim_matrix(g)
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
     opt = optax.adam(sched)
-
-    # the LU bordered adjoint materializes a (D^2+1)^2 system per batch
-    # element under vmap (8.6 GB for a 1024-point sweep at D=32): switch
-    # to the matvec GMRES form once the per-point system stops being small
-    bwd = "gmres" if D >= 16 else "auto"
+    _loss = _recycled_loss_env(build, D)
 
     def loss_env(p, r, iters):
-        A = unitary_to_tensor(build(p))
-        V = A.transpose(1, 0, 2).reshape(2 * D, D)  # rows (i, s)
-        return isometry_energy_warm(V, h, D, r, iters, bwd)
+        return _loss(h, p, r, iters)
 
     core = _recycled_opt_scan_core(loss_env, opt, steps, recycle_iters, final_iters)
     ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     p, _, e = core(p0, _recycled_r0(D, ftype))
     return e, p
+
+
+def _evaluate_one(g, p, build, D: int, recycle: bool, final_iters: int = 200):
+    """Energy of fixed parameters p at field g — the refine-pass verbatim
+    evaluator, using the same final solve as the optimizer's returned
+    energy so the two are comparable elementwise."""
+    h = tfim_matrix(g)
+    if recycle:
+        from ..algorithms.ground_state import _recycled_r0
+
+        ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        e, _ = _recycled_loss_env(build, D)(h, p, _recycled_r0(D, ftype), final_iters)
+        return e
+    return energy_exact_env(build(p), h)
 
 
 _SWEEP_CACHE: dict = {}
@@ -158,11 +184,11 @@ def sweep_ground_states(
     if recycle is None:
         recycle = D >= 4
 
-    # cache the compiled program: rebuilding the closure every call would
+    # cache the compiled programs: rebuilding the closure every call would
     # re-trace and re-compile (expensive through the TPU remote compiler)
     cache_key = (D, ansatz, steps, lr, mesh, restarts, recycle)
-    fn = _SWEEP_CACHE.get(cache_key)
-    if fn is None:
+    cached = _SWEEP_CACHE.get(cache_key)
+    if cached is None:
         if recycle:
             opt_one = lambda g, p0: _optimize_one_recycled(g, p0, build, D, steps, lr)
         else:
@@ -177,7 +203,14 @@ def sweep_ground_states(
         from .mesh import shard_over_sweep
 
         fn = jax.jit(shard_over_sweep(jax.vmap(per_point), mesh))
-        _SWEEP_CACHE[cache_key] = fn
+        eval_fn = jax.jit(
+            shard_over_sweep(
+                jax.vmap(lambda g, p: _evaluate_one(g, p, build, D, recycle)), mesh
+            )
+        )
+        _SWEEP_CACHE[cache_key] = (fn, eval_fn)
+    else:
+        fn, eval_fn = cached
 
     if point_chunk is None and D >= 16:
         # crash boundary scales with the per-point working set (~D^2):
@@ -196,12 +229,36 @@ def sweep_ground_states(
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
 
+    def run_eval(gv, pv):
+        n = gv.shape[0]
+        if not point_chunk or n <= point_chunk:
+            return eval_fn(gv, pv)
+        return jnp.concatenate(
+            [
+                eval_fn(gv[i : i + point_chunk], pv[i : i + point_chunk])
+                for i in range(0, n, point_chunk)
+            ]
+        )
+
     es, ps = run(gs, p0s)
     for k in range(refine_passes):
         for shift in (1, -1):
+            p_nb = jnp.roll(ps, shift, axis=0)
+            # (a) VERBATIM neighbor evaluation: the ground state is
+            # continuous in g, so a good neighbor's parameters carry an
+            # excess energy of only O(dg^2) at this point — this hop is
+            # what actually heals an ATTRACTIVE bad basin, where (b)'s
+            # full re-optimization can wander back to the bad minimum
+            # before its scan ends (observed at D=32 near g~1.85: the
+            # polished pass returned err 0.13 from warm starts whose
+            # initial energy was already ~1e-4)
+            e_nb = run_eval(gs, p_nb)
+            better = e_nb < es
+            es = jnp.where(better, e_nb, es)
+            ps = jnp.where(better[:, None], p_nb, ps)
+            # (b) polished re-optimization from the neighbor's basin
             p0n = jnp.broadcast_to(
-                jnp.roll(ps, shift, axis=0)[:, None, :],
-                (ps.shape[0], restarts, ps.shape[-1]),
+                p_nb[:, None, :], (ps.shape[0], restarts, ps.shape[-1])
             )
             if restarts > 1:
                 # diversify the extra restart slots: identical copies of

@@ -72,6 +72,31 @@ def test_refine_passes_only_improve():
     assert np.max(np.asarray(e1, np.float64) - exact) < 5e-3
 
 
+def test_refine_verbatim_eval_mechanism():
+    """The refine pass's two guarantees: (a) the evaluator reproduces the
+    optimizer's reported energy at the returned parameters (so the
+    elementwise min across passes compares like with like), and (b) the
+    verbatim-neighbor hop has small excess energy (ground-state continuity
+    in g) — the property that heals ATTRACTIVE bad basins which full
+    re-optimization from a warm start falls back into."""
+    from qmps_tpu.parallel.sweep import _SWEEP_CACHE
+
+    gs = jnp.linspace(0.3, 1.8, 16)
+    for D, steps in ((2, 100), (4, 60)):
+        es, ps = sweep_ground_states(gs, D=D, steps=steps)
+        key = next(k for k in _SWEEP_CACHE if k[0] == D and k[2] == steps)
+        _, eval_fn = _SWEEP_CACHE[key]
+        # (a) evaluator == optimizer's final reported energy (the recycled
+        # path's final solve starts warm vs. the evaluator's cold identity
+        # start — agreement is set by the 200-iter solve, not exactness)
+        e_eval = np.asarray(eval_fn(gs, ps), np.float64)
+        np.testing.assert_allclose(e_eval, np.asarray(es, np.float64), atol=1e-5)
+        # (b) continuity: a converged neighbor's params cost O(dg^2) here
+        e_nb = np.asarray(eval_fn(gs, jnp.roll(ps, 1, axis=0)), np.float64)
+        interior = (e_nb - np.asarray(es, np.float64))[1:]  # drop the wrap
+        assert np.median(interior) < 5e-3, interior
+
+
 def test_shard_over_sweep_identity_and_mesh():
     """shard_over_sweep is the identity without a mesh and a pure layout
     change with one (multi-output functions included)."""
