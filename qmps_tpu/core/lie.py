@@ -193,3 +193,35 @@ def embed_su_params(v: np.ndarray, eps: float = 4e-2) -> np.ndarray:
     # reference (it adds eps to the parameter vector: `SU(v + eps, N)`).
     U2N = np.kron(U, np.eye(2))
     return extract_su_params(U2N) + eps
+
+
+@lru_cache(maxsize=None)
+def _grow_su_map(N: int) -> np.ndarray:
+    """(4N^2-1, N^2-1) matrix M with  coeffs(kron(H, I2)) = M @ coeffs(H).
+
+    Because kron(A, I)^k = kron(A^k, I), U = expm(-iH) gives
+    kron(U, I2) = expm(-i kron(H, I2)) EXACTLY — so the D -> 2D parameter
+    embedding of `embed_su_params` is a fixed LINEAR map on su(N)
+    coefficients, with no eigendecomposition, no matrix log, and no
+    branch-cut failure when U has eigenvalues near -1.  Host numpy,
+    cached per N.
+    """
+    G = su_generators(N)  # (N^2-1, N, N)
+    G2 = su_generators(2 * N)  # (4N^2-1, 2N, 2N)
+    K = np.einsum("aij,kl->aikjl", G, np.eye(2)).reshape(
+        N * N - 1, 2 * N, 2 * N
+    )  # kron(G_a, I2)
+    # tr(G2_b G2_c) = 2 delta_bc, so coeff_b = tr(G2_b K_a)/2 per unit v_a
+    return np.real(np.einsum("bij,aji->ba", G2, K)) / 2.0
+
+
+def grow_su_params(vs: np.ndarray, eps: float = 4e-2) -> np.ndarray:
+    """Batched, exact D -> 2D warm-start embedding: (..., N^2-1) su(N)
+    parameter vectors -> (..., 4N^2-1) su(2N) vectors, via the linear map
+    `_grow_su_map` (same semantics as `embed_su_params`, branch-cut-free
+    and vectorized for sweep-scale bond-growth continuation).  The uniform
+    eps shift off singular points matches the reference
+    (scripts/bond_dimension.py:24-35)."""
+    vs = np.asarray(vs)
+    N = int(np.sqrt(vs.shape[-1] + 1))
+    return vs @ _grow_su_map(N).T + eps

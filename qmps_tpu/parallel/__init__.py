@@ -4,4 +4,5 @@ from .sweep import (  # noqa: F401
     phase_diagram_sweep,
     sweep_ground_states,
     sweep_ground_states_fused,
+    sweep_ground_states_grown,
 )

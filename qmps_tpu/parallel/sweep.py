@@ -121,6 +121,7 @@ def sweep_ground_states(
     refine_passes: int = 0,
     recycle: bool | None = None,
     point_chunk: int | None = None,
+    warm_params: jnp.ndarray | None = None,
 ):
     """Ground-state energies for a batch of field values g.
 
@@ -142,6 +143,12 @@ def sweep_ground_states(
     environment recycling (_optimize_one_recycled): at D = 2 the dense
     4x4 env solve is already negligible next to the expm chart, while at
     D >= 4 the from-scratch D^2 x D^2 squaring chain dominates each step.
+
+    warm_params (n, n_params), if given, replaces restart slot 0's random
+    initialization — the hook for bond-growth continuation
+    (`sweep_ground_states_grown`) and any other informed start.  The
+    remaining restart slots stay random, so a bad warm start can never
+    LOSE to the plain sweep at equal restarts.
 
     point_chunk bounds how many points one program call carries; the
     chunks run sequentially through the SAME compiled program and are
@@ -181,6 +188,14 @@ def sweep_ground_states(
 
     key = jax.random.PRNGKey(0) if key is None else key
     p0s = jax.random.normal(key, (gs.shape[0], restarts, n_params)) * 0.5
+    if warm_params is not None:
+        warm_params = jnp.asarray(warm_params, p0s.dtype)
+        if warm_params.shape != (gs.shape[0], n_params):
+            raise ValueError(
+                f"warm_params must be {(gs.shape[0], n_params)}, "
+                f"got {warm_params.shape}"
+            )
+        p0s = p0s.at[:, 0, :].set(warm_params)
     if recycle is None:
         recycle = D >= 4
 
@@ -271,6 +286,86 @@ def sweep_ground_states(
             better = e2 < es
             es = jnp.where(better, e2, es)
             ps = jnp.where(better[:, None], p2, ps)
+    return es, ps
+
+
+def sweep_ground_states_grown(
+    gs: jnp.ndarray,
+    D: int,
+    steps: int = 300,
+    lr: float = 0.05,
+    key=None,
+    mesh: Mesh | None = None,
+    restarts: int = 1,
+    refine_passes: int = 0,
+    D_start: int = 2,
+    stage_steps: int | None = None,
+    eps: float = 4e-2,
+    point_chunk: int | None = None,
+    return_stages: bool = False,
+):
+    """Bond-growth continuation sweep: optimize the whole g-grid at
+    D_start, embed every point's converged su(2D') parameters into
+    su(4D') (`core.lie.grow_su_params`, the reference's insu2N+fixindices
+    warm start of scripts/bond_dimension.py:24-49 at sweep scale), and
+    repeat up the ladder D_start -> 2 D_start -> ... -> D.
+
+    The embedded start reproduces the smaller-D state's energy exactly
+    (up to the eps nudge off the singular point), so every point enters
+    the larger manifold inside a good basin — this heals the ATTRACTIVE
+    bad basins that neighbor-continuation refine passes cannot (observed
+    at D=32 near g ~ 1.85, where re-optimization wanders back to the bad
+    minimum: the basin is a property of the random start's region, and
+    growth never visits it).  Slot 0's STARTING energy equals the
+    previous rung's optimum (up to the eps nudge), so each rung enters
+    at least as good as the last; the returned energy can still sit a
+    convergence-noise margin (~1e-4) above it at points the smaller D
+    already solved, because adam's final iterate is not monotone.
+
+    suN ansatz only (the embedding lives in the expm chart).
+    ``stage_steps`` bounds the intermediate-D optimizations (default:
+    ``steps``); refine passes run only at the final D.  Returns
+    (energies, params) at D; with return_stages=True, also a
+    {D': (energies, params)} dict of every rung.
+    """
+    if D_start < 2 or D & (D - 1) or D_start & (D_start - 1) or D < D_start:
+        raise ValueError("D and D_start must be powers of two with D >= D_start >= 2")
+    from ..core.lie import grow_su_params
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    ladder = []
+    d = D_start
+    while d <= D:
+        ladder.append(d)
+        d *= 2
+    stages = {}
+    warm = None
+    es = ps = None
+    for i, d in enumerate(ladder):
+        final = d == D
+        es, ps = sweep_ground_states(
+            gs,
+            D=d,
+            ansatz="suN",
+            steps=steps if final else (stage_steps or steps),
+            lr=lr,
+            key=jax.random.fold_in(key, i),
+            mesh=mesh,
+            restarts=restarts,
+            refine_passes=refine_passes if final else 0,
+            point_chunk=point_chunk if final else None,
+            warm_params=warm,
+        )
+        if return_stages:
+            stages[d] = (es, ps)
+        if not final:
+            # host-side exact linear embedding; params are real floats, so
+            # the readback is axon-safe (no complex D2H)
+            import numpy as np
+
+            warm = jnp.asarray(grow_su_params(np.asarray(ps), eps))
+    if return_stages:
+        return es, ps, stages
     return es, ps
 
 

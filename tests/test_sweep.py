@@ -166,3 +166,57 @@ def test_fused_sweep_sharded_matches_unsharded():
     e2, A2 = sweep_ground_states_fused(gs, mesh=make_mesh(), **kw)
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-12)
     np.testing.assert_allclose(np.asarray(A1), np.asarray(A2), atol=1e-12)
+
+
+def test_grow_su_params_exact_identity():
+    """kron(SU(v, N), I2) == SU(grow(v), 2N) EXACTLY (not just for small
+    v): growth in the expm chart is the linear map coeffs(kron(H, I2)),
+    since kron(A, I)^k = kron(A^k, I) term-by-term in the exponential.
+    Also pins agreement with the original logm-based embed_su_params and
+    the batched shape contract."""
+    from qmps_tpu.core import lie
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=15) * 0.4  # su(4): a D=2 state unitary
+    v8 = lie.grow_su_params(v, eps=0.0)
+    assert v8.shape == (63,)
+    U = np.asarray(lie.SU(jnp.asarray(v), 4))
+    U8 = np.asarray(lie.SU(jnp.asarray(v8), 8))
+    np.testing.assert_allclose(U8, np.kron(U, np.eye(2)), atol=1e-10)
+    # matches the logm route away from its branch cut (small v)
+    np.testing.assert_allclose(
+        lie.grow_su_params(0.1 * v, eps=4e-2),
+        lie.embed_su_params(0.1 * v, eps=4e-2),
+        atol=1e-8,
+    )
+    # batched: (n, k, 15) -> (n, k, 63), rows independent
+    vs = rng.normal(size=(3, 2, 15))
+    out = lie.grow_su_params(vs, eps=1e-3)
+    assert out.shape == (3, 2, 63)
+    np.testing.assert_allclose(out[1, 0], lie.grow_su_params(vs[1, 0], eps=1e-3))
+
+
+@pytest.mark.slow
+def test_grown_sweep_heals_bad_basins():
+    """Bond-growth continuation (sweep_ground_states_grown): every D=4
+    point warm-starts inside its D=2 optimum's basin, so the grown sweep
+    is (a) variational, (b) at least as good pointwise as its own D=2
+    rung, and (c) free of the random-start outliers."""
+    from qmps_tpu.parallel.sweep import sweep_ground_states_grown
+
+    gs = jnp.linspace(0.4, 1.8, 6)
+    es4, ps4, stages = sweep_ground_states_grown(
+        gs, D=4, steps=200, stage_steps=200, return_stages=True
+    )
+    assert set(stages) == {2, 4}
+    exact = np.asarray(tfim_gs_energy(np.asarray(gs, np.float64)))
+    err = np.asarray(es4, np.float64) - exact
+    assert np.all(err > -1e-9), err
+    assert np.max(err) < 2e-3, err
+    # up the ladder: D=4 grown never loses to its D=2 rung beyond adam's
+    # convergence-noise margin (the start is exact; the final iterate is
+    # not monotone), and it heals the D=2 rung's worst point outright
+    e2 = np.asarray(stages[2][0], np.float64)
+    assert np.all(np.asarray(es4, np.float64) <= e2 + 5e-4)
+    assert np.max(err) < np.max(e2 - exact)
+    assert ps4.shape == (6, 63)
