@@ -57,6 +57,21 @@ def main():
     print(f"fused engine: {dt_f:.2f}s ({n_points/dt_f:.1f} opts/s), "
           f"max error {err_f.max():.2e}")
 
+    # Bond-growth continuation to D=4: every point warm-starts from its
+    # own D=2 optimum through the exact linear su(N) embedding
+    # (core/lie.grow_su_params), so no point can land in a worse basin
+    # than the D=2 sweep found — the move that heals the attractive
+    # bad basins refine passes can't reach at D=32
+    from qmps_tpu.parallel import sweep_ground_states_grown
+
+    t0 = time.perf_counter()
+    es_g, _ = sweep_ground_states_grown(gs, D=4, steps=300, mesh=mesh)
+    es_g.block_until_ready()
+    dt_g = time.perf_counter() - t0
+    err_g = np.asarray(es_g) - exact
+    print(f"grown D=4 ladder: {dt_g:.2f}s, max error {err_g.max():.2e} "
+          f"(D=2 sweep above: {err.max():.2e})")
+
 
 if __name__ == "__main__":
     main()

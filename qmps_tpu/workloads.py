@@ -163,6 +163,47 @@ class FusedSweepConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class GrownSweepConfig:
+    """Config 4 at large D via bond-growth continuation: the whole grid
+    optimized up the ladder D_start -> ... -> D, each rung warm-started
+    from the last through the exact linear su(N) embedding
+    (parallel.sweep.sweep_ground_states_grown) — heals the attractive
+    bad basins random starts leave at D >= 16 that refine passes can't
+    reach."""
+
+    n_points: int = 256
+    D: int = 16
+    steps: int = 300
+    g_min: float = 0.1
+    g_max: float = 2.0
+    D_start: int = 2
+
+    def run(self) -> dict:
+        from .ham import tfim_gs_energy
+        from .parallel.sweep import sweep_ground_states_grown
+
+        gs = jnp.linspace(self.g_min, self.g_max, self.n_points)
+        es, _ = sweep_ground_states_grown(
+            gs, D=self.D, steps=self.steps, D_start=self.D_start
+        )  # compile every rung
+        es.block_until_ready()
+        t0 = time.perf_counter()
+        es, _ = sweep_ground_states_grown(
+            gs + 1e-3, D=self.D, steps=self.steps, D_start=self.D_start
+        )
+        es.block_until_ready()
+        dt = time.perf_counter() - t0
+        exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
+        err = np.asarray(es, np.float64) - exact
+        return {
+            "opts_per_sec": self.n_points / dt,
+            "seconds": dt,
+            "median_error": float(np.median(err)),
+            "max_error": float(np.max(err)),
+        }
+
+
+@dataclasses.dataclass(frozen=True)
 class BrickworkConfig:
     """Config 5: gen-2 brickwork TDVP with the flat-matmul hot kernel."""
 
