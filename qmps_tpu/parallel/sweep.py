@@ -146,9 +146,12 @@ def sweep_ground_states(
 
     warm_params (n, n_params), if given, replaces restart slot 0's random
     initialization — the hook for bond-growth continuation
-    (`sweep_ground_states_grown`) and any other informed start.  The
-    remaining restart slots stay random, so a bad warm start can never
-    LOSE to the plain sweep at equal restarts.
+    (`sweep_ground_states_grown`) and any other informed start.  With
+    restarts >= 2 the remaining slots stay random, so a bad warm start
+    can never LOSE to the plain sweep at equal restarts; at the default
+    restarts=1 the warm start replaces the ONLY slot and there is no
+    random fallback (acceptable for growth, whose slot-0 start provably
+    reproduces the previous rung's energy).
 
     point_chunk bounds how many points one program call carries; the
     chunks run sequentially through the SAME compiled program and are
@@ -330,6 +333,10 @@ def sweep_ground_states_grown(
     """
     if D_start < 2 or D & (D - 1) or D_start & (D_start - 1) or D < D_start:
         raise ValueError("D and D_start must be powers of two with D >= D_start >= 2")
+    if stage_steps is not None and stage_steps < 1:
+        # an explicit 0 used to be silently reinterpreted as "full steps";
+        # the optimizer scan needs >= 1 step, so reject it loudly instead
+        raise ValueError(f"stage_steps must be >= 1, got {stage_steps}")
     from ..core.lie import grow_su_params
 
     key = jax.random.PRNGKey(0) if key is None else key
@@ -347,13 +354,17 @@ def sweep_ground_states_grown(
             gs,
             D=d,
             ansatz="suN",
-            steps=steps if final else (stage_steps or steps),
+            steps=steps if final else (steps if stage_steps is None else stage_steps),
             lr=lr,
             key=jax.random.fold_in(key, i),
             mesh=mesh,
             restarts=restarts,
             refine_passes=refine_passes if final else 0,
-            point_chunk=point_chunk if final else None,
+            # a user-supplied chunk applies to EVERY rung (an explicit
+            # smaller chunk chosen to dodge a worker crash must also hold
+            # at intermediate D >= 16 rungs); None keeps each rung's
+            # internal per-D default
+            point_chunk=point_chunk,
             warm_params=warm,
         )
         if return_stages:

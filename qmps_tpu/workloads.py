@@ -379,6 +379,10 @@ CONFIG_LADDER = (
     # via SweepConfig(n_points=1024, D=32, ansatz="deep_bw",
     # refine_passes=4) when the wall-clock budget allows
     SweepConfig(n_points=1024, D=16, ansatz="deep_bw", refine_passes=4),
+    # config 4 at large D, suN chart: bond-growth continuation up the
+    # D = 2 -> 16 ladder (TPU-validated via scripts/tpu_grown_sweep_probe.py
+    # before entering the ladder, per the round-3 advisor note)
+    GrownSweepConfig(),
     BrickworkConfig(),
     LargeDConfig(D=32),
     LargeDConfig(D=64),
