@@ -152,6 +152,47 @@ def itebd_gs_energy(
     return energy
 
 
+def nnn_ising_ed_energy(
+    L: int = 14, g: float = 0.5, J2: float = 0.2, J1: float = 1.0,
+    periodic: bool = True,
+) -> float:
+    """Ground-state energy per site of the next-nearest-neighbour Ising
+    chain H = -J1 sum Z_i Z_{i+1} - J2 sum Z_i Z_{i+2} - g sum X_i, via
+    sparse Lanczos — the oracle for the MPO layer's beyond-two-site
+    models (mps/mpo.mpo_nnn_ising), which no two-site ``h2`` can express
+    (so `ed_gs_energy` cannot cover it)."""
+    import scipy.sparse.linalg as spla
+
+    dim = 2**L
+
+    def flips(v):
+        w = np.zeros_like(v)
+        psi = v.reshape((2,) * L)
+        for i in range(L):
+            w -= g * np.swapaxes(np.swapaxes(psi, 0, i)[::-1], 0, i).reshape(-1)
+        return w
+
+    bits = ((np.arange(dim)[:, None] >> np.arange(L - 1, -1, -1)) & 1).astype(
+        np.int64
+    )
+    z = 1 - 2 * bits
+    if periodic:
+        diag = -J1 * np.sum(z * np.roll(z, -1, axis=1), axis=1) - J2 * np.sum(
+            z * np.roll(z, -2, axis=1), axis=1
+        )
+    else:
+        diag = -J1 * np.sum(z[:, :-1] * z[:, 1:], axis=1) - J2 * np.sum(
+            z[:, :-2] * z[:, 2:], axis=1
+        )
+    diag = diag.astype(np.float64)
+
+    op = spla.LinearOperator(
+        (dim, dim), matvec=lambda v: flips(v) + diag * v, dtype=np.float64
+    )
+    w = spla.eigsh(op, k=1, which="SA", return_eigenvectors=False, maxiter=5000)
+    return float(w[0]) / L
+
+
 def ed_gs_energy(h2, L: int = 14, periodic: bool = True) -> float:
     """Ground-state energy per site of H = sum_i h2_{i,i+1} for an
     ARBITRARY Hermitian two-site term h2 ((d^2, d^2), bra-row

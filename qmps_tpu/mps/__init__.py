@@ -5,6 +5,16 @@ from .excitations import (  # noqa: F401
     spectral_weights,
 )
 from .imps import iMPS, Map, TransferMatrix  # noqa: F401
+from .mpo import (  # noqa: F401
+    MPO,
+    mpo_exp_decay,
+    mpo_from_two_site,
+    mpo_heisenberg,
+    mpo_nnn_ising,
+    mpo_tfim,
+    mpo_xxz,
+    vumps_ground_state_mpo,
+)
 from .tdvp import (  # noqa: F401
     split_cell,
     vumps_ground_state,
