@@ -143,14 +143,19 @@ def shallow_env_ops(D: int, params):
 
 
 def env_vr_ops(params):
-    """6-param 2-qubit environment ansatz Vr (qmps/ansatze.py:9-25)."""
+    """6-param 2-qubit environment ansatz Vr, the reference's EXACT
+    decomposition (qmps/ansatze.py:9-25): params (gamma, psi, phi,
+    omega, delta, xi) ->
+    YY^gamma | X^psi Z^phi on qubit 0 | Z^-xi X^-omega Z^-delta on
+    qubit 1 — convention-pinned bit-for-bit in
+    tests/test_reference_parity.py."""
     p = jnp.asarray(params)
+    gamma, psi, phi, omega, delta, xi = (p[i] for i in range(6))
     ops = [
-        (g.rz(p[0]), (1,)), (g.rx(p[1]), (1,)),
-        (g.rx(p[2]), (0,)),
-        (g.CNOT, (1, 0)),
-        (g.rx(p[3]), (0,)),
-        (g.rx(p[4]), (1,)), (g.rz(p[5]), (1,)),
+        (g.yy_pow(gamma), (0, 1)),
+        (g.x_pow(psi), (0,)), (g.z_pow(phi), (0,)),
+        (g.z_pow(-xi), (1,)), (g.x_pow(-omega), (1,)),
+        (g.z_pow(-delta), (1,)),
     ]
     return ops, 2
 

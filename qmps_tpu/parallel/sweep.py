@@ -555,6 +555,255 @@ def _fused_sweep_programs(
     return init, make_advance, finish
 
 
+_STIEFEL_SWEEP_CACHE: dict = {}
+
+
+def _polar_ns(W, iters: int = 10):
+    """Batched polar factor of (B, n, m) tall matrices by the coupled
+    Newton-Schulz inverse-square-root iteration — MXU-only (batched
+    m x m matmuls), replacing the batched SVD that `optim.riemann._retract`
+    uses in the single-chain program (batched small SVDs serialize badly
+    on this backend).  W is near-isometric along the descent trajectory
+    (H = W^dag W ~ I), so the trace scaling centres the spectrum at 1 and
+    the iteration converges quadratically well within ``iters``.  A
+    RELATIVE jitter floors H away from singularity (same rationale as the
+    fused D=2 polar's scale-relative det floor above)."""
+    m = W.shape[-1]
+    eye = jnp.eye(m, dtype=W.dtype)
+    H = jnp.einsum("bji,bjk->bik", W.conj(), W)
+    c = jnp.trace(H, axis1=-2, axis2=-1).real / m
+    c = jnp.maximum(c, jnp.finfo(c.dtype).tiny)
+    # dtype-aware relative jitter: it bounds the achievable isometry
+    # residual (V^dag V = I only to O(jitter)), so f64 must not pay the
+    # f32 guard (measured: a flat 1e-6 capped left-canonicality at 1e-6
+    # and with it the f64 energy floor)
+    jit_eps = 1e-6 if jnp.finfo(c.dtype).eps > 1e-10 else 1e-12
+    Y = H / c[:, None, None] + jit_eps * eye
+    Z = jnp.broadcast_to(eye, Y.shape)
+    for _ in range(iters):
+        T = 1.5 * eye - 0.5 * jnp.einsum("bij,bjk->bik", Z, Y)
+        Y = jnp.einsum("bij,bjk->bik", Y, T)
+        Z = jnp.einsum("bij,bjk->bik", T, Z)
+    return jnp.einsum("bij,bjk->bik", W, Z) / jnp.sqrt(c)[:, None, None]
+
+
+def _stiefel_sweep_programs(D, lr, momentum, restarts, recycle_iters,
+                            final_iters, ftype, mesh):
+    """(init, make_advance, finish) jitted programs for
+    sweep_ground_states_stiefel — the large-D twin of
+    _fused_sweep_programs, XLA-batched instead of Pallas (at D >= 8 the
+    per-point work is real D x D / 2D x D matmuls that already land on
+    the MXU; what killed the chart path was the expm chart and its
+    jacobian, which this engine simply does not have)."""
+    from ..optim.riemann import isometry_energy_warm
+    from .mesh import shard_over_sweep
+
+    d = 2
+    # the LU bordered adjoint materializes a (D^2+1)^2 system per batch
+    # element under vmap; the matvec GMRES form is mandatory at D >= 16
+    # (see _recycled_loss_env)
+    bwd = "gmres" if D >= 16 else "auto"
+
+    def loss(V, r, hs, iters):
+        return jax.vmap(
+            lambda Vb, rb, hb: isometry_energy_warm(Vb, hb, D, rb, iters, bwd)
+        )(V, r, hs)
+
+    def _loss_sum(V, r, hs):
+        # points are independent, so grad of the sum IS the per-point
+        # gradient batch (one vjp launch for the whole sweep)
+        es, r_new = loss(V, jax.lax.stop_gradient(r), hs, recycle_iters)
+        return jnp.sum(es), r_new
+
+    vg = jax.value_and_grad(_loss_sum, has_aux=True)
+
+    def sym_proj(V, G):
+        VG = jnp.einsum("bji,bjk->bik", V.conj(), G)
+        S = (VG + jnp.swapaxes(VG, -1, -2).conj()) / 2
+        return G - jnp.einsum("bij,bjk->bik", V, S)
+
+    @jax.jit
+    def init(gs, xre, xim, warm):
+        n = gs.shape[0]
+        hs = jax.vmap(tfim_matrix)(gs)
+        hs = (hs.real if jnp.iscomplexobj(hs) else hs).astype(ftype)
+        hs = jnp.broadcast_to(
+            hs[:, None], (n, restarts, 4, 4)
+        ).reshape(-1, 4, 4)
+        V0, _ = jnp.linalg.qr(jax.lax.complex(xre, xim))
+        if warm is not None:
+            # slot 0 <- warm tensors (bond-growth or neighbor starts)
+            V0 = V0.reshape(n, restarts, d * D, D).at[:, 0].set(warm)
+            V0 = V0.reshape(-1, d * D, D)
+        r0 = jnp.eye(D, dtype=V0.dtype)
+        r0 = jnp.broadcast_to(
+            r0 / jnp.linalg.norm(r0), (V0.shape[0], D, D)
+        )
+        return hs, V0, jnp.zeros_like(V0), r0
+
+    _advance_cache = {}
+
+    def make_advance(length):
+        fn = _advance_cache.get(length)
+        if fn is None:
+
+            def advance(V, M, r, hs):
+                def step(carry, _):
+                    V, M, r = carry
+                    (_, r_new), G = vg(V, r, hs)
+                    G = G.conj()
+                    T = sym_proj(V, G)
+                    M = momentum * M + T
+                    V = _polar_ns(V - lr * M)
+                    M = sym_proj(V, M)
+                    return (V, M, r_new), None
+
+                (V, M, r), _ = jax.lax.scan(step, (V, M, r), None,
+                                            length=length)
+                return V, M, r
+
+            fn = jax.jit(shard_over_sweep(advance, mesh, check_vma=False))
+            _advance_cache[length] = fn
+        return fn
+
+    @jax.jit
+    @functools.partial(shard_over_sweep, mesh=mesh, check_vma=False)
+    def finish(V, r, hs):
+        es, r = loss(V, r, hs, final_iters)
+        er = es.reshape(-1, restarts)
+        i = jnp.argmin(er, axis=1)
+        take = lambda X: jnp.take_along_axis(
+            X.reshape(-1, restarts, *X.shape[1:]),
+            i[(...,) + (None,) * X.ndim], axis=1
+        )[:, 0]
+        Vb, rb = take(V), take(r)
+        A = Vb.reshape(-1, D, d, D).transpose(0, 2, 1, 3)
+        return jnp.min(er, axis=1), A, rb
+
+    return init, make_advance, finish
+
+
+def sweep_ground_states_stiefel(
+    gs: jnp.ndarray,
+    D: int,
+    steps: int = 300,
+    lr: float = 0.08,
+    momentum: float = 0.9,
+    restarts: int = 1,
+    key=None,
+    recycle_iters: int = 24,
+    final_iters: int = 200,
+    chunk: int | None = 50,
+    point_chunk: int | None = None,
+    mesh: Mesh | None = None,
+    warm_V: jnp.ndarray | None = None,
+):
+    """BASELINE config 4 at large D: the phase-diagram sweep through
+    DIRECT Stiefel-manifold descent on the (2D, D) MPS isometry — no
+    expm chart, no chart jacobian; per step the whole batch pays one
+    vjp of the warm-environment energy (batched power matvecs + GMRES
+    implicit adjoint), a tangent projection, and a Newton-Schulz polar
+    retraction: every FLOP is a batched real matmul on the MXU.
+
+    This is the engine that meets the "1000+ vmapped optimizations,
+    D <= 32, under a minute" target (BASELINE.md:27-28): the suN-chart
+    sweep pays the expm chart per point per step (measured 101 s for
+    the D=16 bond-growth ladder), the brickwork sweep pays a depth-n
+    circuit build; here the manifold is the state tensor itself.
+    Accuracy note: direct descent converges toward the D-OPTIMAL state
+    (same variational class as VUMPS), so at D >= 8 the achievable
+    error vs the exact integral is limited by convergence, not
+    expressivity.
+
+    Returns (energies, As, rs): (n,), (n, 2, D, D) tensors (best basin
+    per point over ``restarts``) and the converged environments
+    (n, D, D) — callers re-evaluating in f64 warm-start from rs.
+
+    ``chunk`` bounds the per-program scan length (compile-time
+    pathology, docs/DESIGN.md); ``point_chunk`` bounds the batch per
+    program call (working-set crash boundary at D >= 16, see
+    sweep_ground_states); ``warm_V`` (n, 2D, D) seeds restart slot 0
+    (bond-growth continuation via `grow_isometry`).
+    """
+    gs = jnp.asarray(gs)
+    n = gs.shape[0]
+    key = jax.random.PRNGKey(0) if key is None else key
+    ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    cache_key = (D, lr, momentum, restarts, recycle_iters, final_iters,
+                 mesh, bool(jax.config.jax_enable_x64))
+    fns = _STIEFEL_SWEEP_CACHE.get(cache_key)
+    if fns is None:
+        fns = _stiefel_sweep_programs(
+            D, lr, momentum, restarts, recycle_iters, final_iters, ftype, mesh
+        )
+        if len(_STIEFEL_SWEEP_CACHE) >= 16:
+            _STIEFEL_SWEEP_CACHE.pop(next(iter(_STIEFEL_SWEEP_CACHE)))
+        _STIEFEL_SWEEP_CACHE[cache_key] = fns
+    else:
+        _STIEFEL_SWEEP_CACHE[cache_key] = _STIEFEL_SWEEP_CACHE.pop(cache_key)
+    init, make_advance, finish = fns
+
+    if point_chunk is None and D >= 16:
+        # same working-set crash family as the chart sweep; the stiefel
+        # state is lighter (no opt-state pytree of chart params) but the
+        # GMRES adjoint's Krylov basis is (B, k, D^2) — keep the same
+        # conservative boundary
+        point_chunk = max(64, 8192 // D)
+    if chunk is None:
+        chunk = steps
+
+    def run_block(gv, warm, block_key):
+        B = gv.shape[0] * restarts
+        xre = jax.random.normal(block_key, (B, 2 * D, D), ftype)
+        xim = jax.random.normal(
+            jax.random.fold_in(block_key, 1), (B, 2 * D, D), ftype
+        )
+        hs, V, M, r = init(gv, xre, xim, warm)
+        done = 0
+        while done < steps:
+            length = min(chunk, steps - done)
+            V, M, r = make_advance(length)(V, M, r, hs)
+            done += length
+        return finish(V, r, hs)
+
+    if not point_chunk or n <= point_chunk:
+        return run_block(gs, warm_V, key)
+    outs = []
+    for i in range(0, n, point_chunk):
+        w = None if warm_V is None else warm_V[i : i + point_chunk]
+        outs.append(run_block(gs[i : i + point_chunk], w,
+                              jax.random.fold_in(key, 7 + i)))
+    return tuple(jnp.concatenate([o[j] for o in outs]) for j in range(3))
+
+
+def grow_isometry(A, eps: float = 1e-3, key=None):
+    """Bond-growth warm start in TENSOR space: embed a converged (d, D, D)
+    left-canonical tensor into (d, 2D, 2D) as the direct sum with an
+    eps-scaled random block, returned as the (2dD, 2D) isometry argument
+    of sweep_ground_states_stiefel's warm_V (re-orthonormalized by the
+    first retraction).  The embedded state reproduces the D-state's
+    energy up to O(eps) — the tensor-space analogue of
+    core.lie.grow_su_params (reference scripts/bond_dimension.py:24-35)."""
+    key = jax.random.PRNGKey(17) if key is None else key
+    A = jnp.asarray(A)
+    batched = A.ndim == 4
+    if not batched:
+        A = A[None]
+    B, d, D, _ = A.shape
+    noise = eps * (
+        jax.random.normal(key, (B, d, 2 * D, 2 * D), jnp.zeros(0, A.dtype).real.dtype)
+    ).astype(A.dtype)
+    A2 = jnp.zeros((B, d, 2 * D, 2 * D), A.dtype)
+    A2 = A2.at[:, :, :D, :D].set(A)
+    # the new sector enters as eps-noise everywhere (coupled, so descent
+    # can populate it); the first polar retraction restores isometry
+    A2 = A2 + noise
+    V = A2.transpose(0, 2, 1, 3).reshape(B, 2 * D * d, 2 * D)
+    V = _polar_ns(V, iters=14)
+    return V if batched else V[0]
+
+
 def multi_start_ground_state(
     g: float,
     D: int = 2,

@@ -1,0 +1,99 @@
+"""TPU probe: direct-Stiefel phase-diagram sweep at large D.
+
+Times the 1024-point sweep through sweep_ground_states_stiefel (no expm
+chart; Newton-Schulz polar retraction; warm GMRES-adjoint environments)
+and reports the f32 on-chip error profile plus an f64 HOST re-evaluation
+of the returned tensors (power iterations warm-started from the returned
+environments), validated against the exact TFIM integral after timing
+(axon rule 7).
+
+Usage: python tpu_stiefel_sweep_probe.py [D] [n_points] [steps] [restarts]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("QMPS_TPU_X64", "0")
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+D = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+n_points = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+steps = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+restarts = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+
+from qmps_tpu.ham import tfim_gs_energy
+from qmps_tpu.parallel.sweep import sweep_ground_states_stiefel
+
+gvals = np.linspace(0.1, 2.0, n_points).astype(np.float64)
+gs = jnp.asarray(gvals, jnp.float32)
+exact = np.asarray(tfim_gs_energy(gvals))
+
+
+def report(tag, es, As, rs, exact):
+    err = np.asarray(es, np.float64) - exact
+    assert np.all(np.isfinite(err)), tag
+    print(
+        f"{tag}: median={np.median(err):.2e} max={np.max(err):.2e} "
+        f"min={np.min(err):.2e} n(>5e-3)={int(np.sum(err > 5e-3))}",
+        flush=True,
+    )
+
+
+t0 = time.perf_counter()
+es, As, rs = sweep_ground_states_stiefel(gs, D=D, steps=steps, restarts=restarts)
+jax.block_until_ready(es)
+print(f"cold (incl. compile): {time.perf_counter() - t0:.1f}s", flush=True)
+report("cold f32", es, As, rs, exact)
+
+exact2 = np.asarray(tfim_gs_energy(gvals + 1e-3))
+t0 = time.perf_counter()
+es2, As2, rs2 = sweep_ground_states_stiefel(
+    gs + 1e-3, D=D, steps=steps, restarts=restarts
+)
+jax.block_until_ready(es2)
+dt = time.perf_counter() - t0
+report("warm f32", es2, As2, rs2, exact2)
+print(
+    f"stiefel D={D} warm: {dt:.3f}s ({n_points / dt:.1f} opts/s)", flush=True
+)
+
+# f64 host re-evaluation of the returned tensors (error-budget column):
+# complex D2H is unimplemented -> float planes; env warm-started from rs2
+split = jax.jit(lambda X: (jnp.real(X).astype(jnp.float32),
+                           jnp.imag(X).astype(jnp.float32)))
+ar, ai = split(As2)
+rr, ri = split(rs2)
+A = np.asarray(ar, np.float64) + 1j * np.asarray(ai, np.float64)
+r = np.asarray(rr, np.float64) + 1j * np.asarray(ri, np.float64)
+t0 = time.perf_counter()
+for _ in range(40):
+    r = np.einsum("bsik,bkl,bsjl->bij", A, r, A.conj(), optimize=True)
+    r = (r + np.conj(np.swapaxes(r, 1, 2))) / 2
+    r /= np.linalg.norm(r, axis=(1, 2))[:, None, None]
+lam = np.einsum(
+    "bsik,bkl,bsjl,bij->b", A, r, A.conj(), np.conj(r), optimize=True
+).real / np.einsum("bij,bij->b", r, np.conj(r)).real
+rt = r / np.trace(r, axis1=1, axis2=2)[:, None, None]
+X = np.array([[0.0, 1.0], [1.0, 0.0]])
+Z = np.diag([1.0, -1.0])
+I2 = np.eye(2)
+A2 = np.einsum("bsij,btjk->bstik", A, A).reshape(-1, 4, D, D)
+hs = np.stack([
+    -np.kron(Z, Z) + g / 2 * (np.kron(X, I2) + np.kron(I2, X))
+    for g in gvals + 1e-3
+])
+e64 = np.einsum(
+    "bts,bsij,bjk,btik->b", hs, A2, rt, A2.conj(), optimize=True
+).real / (lam ** 2)
+err64 = e64 - exact2
+print(
+    f"f64 re-eval ({time.perf_counter() - t0:.1f}s): "
+    f"median={np.median(err64):.2e} max={np.max(err64):.2e} "
+    f"min={np.min(err64):.2e} lam_dev={np.abs(lam - 1).max():.1e}",
+    flush=True,
+)
