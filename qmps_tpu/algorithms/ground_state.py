@@ -112,8 +112,12 @@ def _recycled_opt_scan_core(loss_env, opt, steps, recycle_iters, final_iters=200
             # normalizes every matvec) — no re-normalization needed
             return (optax.apply_updates(x, up), s, r_new), v
 
+        from ..mps.transfer import _match_vma
+
+        # under shard_map the replicated identity start r0 must carry the
+        # varying axes of the per-shard parameters (scan carry type check)
         (x, _, r), hist = jax.lax.scan(
-            step, (x0, opt.init(x0), r0), None, length=steps
+            step, (x0, opt.init(x0), _match_vma(r0, x0)), None, length=steps
         )
         e, _ = loss_env(x, r, final_iters)
         return x, hist, e

@@ -40,6 +40,24 @@ from ..core.linalg import (  # noqa: E402, F401
 )
 
 
+def _match_vma(x: jnp.ndarray, *like: jnp.ndarray) -> jnp.ndarray:
+    """Promote x to the union of ``like``'s varying-manual-axes.
+
+    Inside shard_map, a replicated constant (e.g. a cold-start fixed
+    point jnp.eye) entering a scan whose body mixes in device-varying
+    operands fails the carry type check — input carry unvarying, output
+    varying.  pcast(..., to='varying') is the sanctioned zero-cost
+    promotion; outside shard_map every vma set is empty and this is the
+    identity."""
+    import jax
+
+    target = set(jax.typeof(x).vma)
+    for y in like:
+        target |= set(jax.typeof(y).vma)
+    extra = tuple(sorted(target - set(jax.typeof(x).vma)))
+    return lax.pcast(x, extra, to="varying") if extra else x
+
+
 def right_matvec(A: jnp.ndarray, B: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """(E r) = sum_s A[s] r B[s]^dag  — right action of the mixed transfer
     operator E^A_B (xmps Map convention)."""
@@ -279,7 +297,8 @@ def right_eigpair_warm(
         w = right_matvec(A, B, r)
         return w / jnp.linalg.norm(w), None
 
-    r, _ = jax.lax.scan(it, r0 / jnp.linalg.norm(r0), None, length=iters)
+    start = _match_vma(r0 / jnp.linalg.norm(r0), A, B)
+    r, _ = jax.lax.scan(it, start, None, length=iters)
     lam = jnp.einsum("ij,ij->", r.conj(), right_matvec(A, B, r))
     return lam, r
 

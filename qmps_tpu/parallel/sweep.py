@@ -745,11 +745,12 @@ def sweep_ground_states_stiefel(
     init, make_advance, finish = fns
 
     if point_chunk is None and D >= 16:
-        # same working-set crash family as the chart sweep; the stiefel
-        # state is lighter (no opt-state pytree of chart params) but the
-        # GMRES adjoint's Krylov basis is (B, k, D^2) — keep the same
-        # conservative boundary
-        point_chunk = max(64, 8192 // D)
+        # same working-set crash family as the chart sweep, but the
+        # boundary scales with the GMRES adjoint's (B, k, D^2) Krylov
+        # basis: B*D^2 <= 2^17 (D=16: 512, D=32: 128).  Measured on chip:
+        # D=32 at B=256 returns silently-failed (non-finite) dispatches,
+        # at B=128 it is clean.
+        point_chunk = max(32, (1 << 17) // (D * D))
     if chunk is None:
         chunk = steps
 

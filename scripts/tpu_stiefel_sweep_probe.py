@@ -8,6 +8,7 @@ environments), validated against the exact TFIM integral after timing
 (axon rule 7).
 
 Usage: python tpu_stiefel_sweep_probe.py [D] [n_points] [steps] [restarts]
+           [point_chunk]
 """
 import os
 import sys
@@ -25,6 +26,7 @@ D = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 n_points = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 steps = int(sys.argv[3]) if len(sys.argv) > 3 else 300
 restarts = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+point_chunk = int(sys.argv[5]) if len(sys.argv) > 5 else None
 
 from qmps_tpu.ham import tfim_gs_energy
 from qmps_tpu.parallel.sweep import sweep_ground_states_stiefel
@@ -45,7 +47,7 @@ def report(tag, es, As, rs, exact):
 
 
 t0 = time.perf_counter()
-es, As, rs = sweep_ground_states_stiefel(gs, D=D, steps=steps, restarts=restarts)
+es, As, rs = sweep_ground_states_stiefel(gs, D=D, steps=steps, restarts=restarts, point_chunk=point_chunk)
 jax.block_until_ready(es)
 print(f"cold (incl. compile): {time.perf_counter() - t0:.1f}s", flush=True)
 report("cold f32", es, As, rs, exact)
@@ -53,7 +55,7 @@ report("cold f32", es, As, rs, exact)
 exact2 = np.asarray(tfim_gs_energy(gvals + 1e-3))
 t0 = time.perf_counter()
 es2, As2, rs2 = sweep_ground_states_stiefel(
-    gs + 1e-3, D=D, steps=steps, restarts=restarts
+    gs + 1e-3, D=D, steps=steps, restarts=restarts, point_chunk=point_chunk
 )
 jax.block_until_ready(es2)
 dt = time.perf_counter() - t0

@@ -31,6 +31,23 @@ def test_sharded_sweep_matches_vmap():
     np.testing.assert_allclose(np.asarray(es_sharded), np.asarray(es_local), atol=1e-9)
 
 
+def test_sharded_deep_bw_sweep_matches_vmap():
+    """Regression: the recycled deep-brickwork per-point optimizer carries
+    a replicated identity environment through its scan; under shard_map's
+    varying-manual-axes check that start must be pcast to the shard's
+    varying type (mps/transfer._match_vma) or the program fails to trace
+    — caught by the round-4 multichip dryrun."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    gs = jnp.linspace(0.5, 1.5, 16)
+    es_sharded, _ = sweep_ground_states(
+        gs, D=4, ansatz="deep_bw", steps=3, mesh=make_mesh(8)
+    )
+    es_local, _ = sweep_ground_states(gs, D=4, ansatz="deep_bw", steps=3)
+    np.testing.assert_allclose(
+        np.asarray(es_sharded), np.asarray(es_local), atol=1e-9
+    )
+
+
 def test_multi_start_ground_state():
     from qmps_tpu.parallel.sweep import multi_start_ground_state
 
