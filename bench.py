@@ -33,6 +33,30 @@ import numpy as np
 
 REFERENCE_EVALS_PER_SEC = 1.0 / 8.658e-4  # new_tdvp/output_results.txt:2
 
+# Analytic FLOPs per eval/step for every kernel row, audited from XLA's
+# cost model on the kernel's XLA twin (the SAME math as the fused Pallas
+# kernel; scans fully unrolled) — provenance: scripts/flops_audit.py,
+# re-run it after changing any benched program.  Units: real FLOPs per
+# batch ELEMENT for the D=2 component-plane kernels, per point-STEP for
+# the Stiefel sweep advance, per STEP for the deep-brickwork optimizer.
+KERNEL_FLOPS = {
+    "overlap": 8473.0,
+    "eig40": 7905.0,
+    "tdvp_fwd": 9899.0,
+    "tdvp_grad": 19798.0,
+    "stiefel_step_D16": 15316736.0,
+    "stiefel_step_D32": 79593152.0,
+    "deep_bw_step_D32": 37814048.0,
+    "deep_bw_step_D64": 602733653.3,
+}
+# True HBM traffic per element for the FUSED kernels (operand float
+# planes + result; intermediates live in VMEM — unlike the XLA twin's
+# cost-model bytes, which include materialized intermediates):
+# overlap: 4 unitaries (4,4)c64 as f32 planes (128 B each) + M (32) +
+# |out| f32 (4); eig40: E planes (128) + lam c64 (8) + v planes (32);
+# tdvp_fwd: A,B planes (64 each) + out f32 (4).  W is broadcast.
+KERNEL_HBM_BYTES = {"overlap": 548.0, "eig40": 168.0, "tdvp_fwd": 132.0}
+
 
 def _readback_ok(out, n=4):
     s = np.asarray(out[:n] if getattr(out, "ndim", 0) else out)
@@ -351,6 +375,90 @@ def bench_sweep_deep_bw(n_points=1024, steps=300, D=8):
     }
 
 
+def bench_sweep_stiefel(D, steps, n_points=1024):
+    """BASELINE config 4 at large D: the 1024-point phase-diagram sweep
+    by DIRECT Stiefel descent on the (2D, D) isometry (parallel/sweep.
+    sweep_ground_states_stiefel) — the engine that meets "1000+ vmapped
+    optimizations, D <= 32, under a minute" (BASELINE.md:27-28; reference
+    anchor scripts/ground_state_finding.py:130-163).
+
+    Error-budget columns (two per rung): *_error_f32 is the on-chip f32
+    energy readout; *_error is the f64 HOST re-evaluation of the SAME
+    returned tensors (batched f64 power iteration warm-started from the
+    returned environments) — separating dtype roundoff from what the
+    returned states actually achieve.  The remaining gap to zero is
+    convergence, not expressivity: direct descent targets the D-optimal
+    state (VUMPS at the same D reaches ~1e-5, see vumps_energy_error_D32).
+    Step counts are the measured knee of the time/accuracy trade on v5e
+    (D=16: 240 steps -> 53 s; D=32: 180 steps -> 55 s, both max err
+    < 1e-3)."""
+    from qmps_tpu.ham import tfim_gs_energy
+    from qmps_tpu.parallel.sweep import sweep_ground_states_stiefel
+
+    gvals = np.linspace(0.1, 2.0, n_points).astype(np.float64)
+    gs = jnp.asarray(gvals, jnp.float32)
+    es, _, _ = sweep_ground_states_stiefel(gs, D=D, steps=steps)  # compile
+    jax.block_until_ready(es)
+    _readback_ok(es)
+
+    exact = np.asarray(tfim_gs_energy(gvals + 1e-3))
+    t0 = time.perf_counter()
+    es, As, rs = sweep_ground_states_stiefel(gs + 1e-3, D=D, steps=steps)
+    jax.block_until_ready(es)
+    dt = time.perf_counter() - t0
+    err32 = np.asarray(es, np.float64) - exact
+    assert np.all(np.isfinite(err32))
+
+    # f64 host re-evaluation of the returned isometries (complex D2H is
+    # unimplemented on this backend -> float planes), environment power
+    # iteration warm-started from the returned fixed points rs
+    split = jax.jit(lambda X: (jnp.real(X).astype(jnp.float32),
+                               jnp.imag(X).astype(jnp.float32)))
+    ar, ai = split(As)
+    rr, ri = split(rs)
+    A = np.asarray(ar, np.float64) + 1j * np.asarray(ai, np.float64)
+    r = np.asarray(rr, np.float64) + 1j * np.asarray(ri, np.float64)
+    for _ in range(40):
+        r = np.einsum("bsik,bkl,bsjl->bij", A, r, A.conj(), optimize=True)
+        r = (r + np.conj(np.swapaxes(r, 1, 2))) / 2
+        r /= np.linalg.norm(r, axis=(1, 2))[:, None, None]
+    lam = np.einsum(
+        "bsik,bkl,bsjl,bij->b", A, r, A.conj(), np.conj(r), optimize=True
+    ).real / np.einsum("bij,bij->b", r, np.conj(r)).real
+    rt = r / np.trace(r, axis1=1, axis2=2)[:, None, None]
+    X = np.array([[0.0, 1.0], [1.0, 0.0]])
+    Z = np.diag([1.0, -1.0])
+    I2 = np.eye(2)
+    A2 = np.einsum("bsij,btjk->bstik", A, A).reshape(-1, 4, D, D)
+    hs = np.stack([
+        -np.kron(Z, Z) + g / 2 * (np.kron(X, I2) + np.kron(I2, X))
+        for g in gvals + 1e-3
+    ])
+    e64 = np.einsum(
+        "bts,bsij,bjk,btik->b", hs, A2, rt, A2.conj(), optimize=True
+    ).real / (lam ** 2)
+    err = e64 - exact
+    assert np.all(np.isfinite(err))
+    out = {
+        f"sweep_stiefel_D{D}_1024_points_seconds": round(dt, 3),
+        f"sweep_stiefel_D{D}_opts_per_sec": round(n_points / dt, 1),
+        f"sweep_stiefel_D{D}_median_error": float(np.median(err)),
+        f"sweep_stiefel_D{D}_max_error": float(np.max(err)),
+        f"sweep_stiefel_D{D}_median_error_f32": float(np.median(err32)),
+        f"sweep_stiefel_D{D}_max_error_f32": float(np.max(err32)),
+    }
+    if f"stiefel_step_D{D}" in KERNEL_FLOPS:
+        from qmps_tpu.utils.flops import MXU_F32, mfu_fields
+
+        out.update(mfu_fields(
+            f"sweep_stiefel_D{D}",
+            KERNEL_FLOPS[f"stiefel_step_D{D}"] * steps,
+            n_points / dt,
+            MXU_F32,
+        ))
+    return out
+
+
 def bench_gs_deep_brickwork(D, steps=200, depth=None):
     """BASELINE config 5 (brick-wall leg): deep-brickwork TFIM ground
     state at D — depth-n wall of SU(4) KAK bricks through the shared
@@ -378,33 +486,38 @@ def bench_gs_deep_brickwork(D, steps=200, depth=None):
     }
 
 
-def bench_vumps(D=8, iters=250):
-    """VUMPS row: D-optimal ground state by the tangent-space eigensolver
-    (mps/tdvp.vumps_ground_state).  The error column is an f64 HOST
-    re-evaluation of the returned state's energy (the on-chip f32 energy
-    readout resolves only ~2e-7 relative); the gradient norm readback
-    validates execution (axon rule 7)."""
-    from qmps_tpu.ham import tfim, tfim_gs_energy
-    from qmps_tpu.mps.tdvp import vumps_ground_state
+def _host_energy_gauge_free(AL_dev, h64):
+    """f64 gauge-free energy of a returned uMPS tensor, on the host.
 
-    h = np.asarray(tfim(1.0).to_matrix(), np.float32)
-    AL, _, e, info = vumps_ground_state(h, D, iters=iters, k=32)  # compile
-    t0 = time.perf_counter()
-    AL, _, e, info = vumps_ground_state(
-        h, D, iters=iters, k=32, key=jax.random.PRNGKey(2)
-    )
-    dt = time.perf_counter() - t0
-    gn = float(np.asarray(info["grad_norms"][-1]))
-    assert np.isfinite(gn), gn
-    # f64 host energy of the returned left-canonical tensor: right env
-    # from the dense D^2 x D^2 transfer eig, then the 2-site contraction
-    split = jax.jit(lambda A: (jnp.real(A).astype(jnp.float32),
-                               jnp.imag(A).astype(jnp.float32)))
-    ar, ai = split(AL)
-    A = np.asarray(ar).astype(np.complex128) + 1j * np.asarray(ai)
-    # gauge-free f64 energy: the f32-rounded tensor is left-canonical only
-    # to ~1e-7, so both fixed points enter (identity-l with a slightly
-    # non-canonical A reported energies BELOW the exact bound)
+    ARPACK dominant left/right fixed points of the transfer map in
+    OPERATOR form (O(d D^3) per matvec — the dense (D^2, D^2) eig is
+    O(D^6) and unaffordable at D=64), then the two-site contraction.
+    Both fixed points enter because the f32-rounded tensor is
+    left-canonical only to ~1e-7 — identity-l with a slightly
+    non-canonical A reported energies BELOW the exact bound."""
+    from scipy.sparse.linalg import LinearOperator, eigs
+
+    split = jax.jit(lambda X: (jnp.real(X).astype(jnp.float32),
+                               jnp.imag(X).astype(jnp.float32)))
+    ar, ai = split(AL_dev)
+    A = np.asarray(ar, np.float64) + 1j * np.asarray(ai, np.float64)
+    D = A.shape[-1]
+
+    def right_mv(x):
+        r = x.reshape(D, D)
+        return np.einsum("sik,kl,sjl->ij", A, r, A.conj(),
+                         optimize=True).ravel()
+
+    def left_mv(x):
+        l = x.reshape(D, D)
+        return np.einsum("ski,kl,slj->ij", A.conj(), l, A,
+                         optimize=True).ravel()
+
+    wr, vr = eigs(LinearOperator((D * D,) * 2, matvec=right_mv), k=1,
+                  which="LM")
+    wl, vl = eigs(LinearOperator((D * D,) * 2, matvec=left_mv), k=1,
+                  which="LM")
+
     def _herm(m):
         # rotate the eig-arbitrary global phase away BEFORE hermitizing:
         # (r + r^H)/2 of e^{i phi} r_true is cos(phi) r_true, which can
@@ -413,36 +526,85 @@ def bench_vumps(D=8, iters=250):
         m = m * (np.conj(tr) / abs(tr)) if abs(tr) > 1e-30 else m
         return (m + m.conj().T) / 2
 
-    E = np.einsum("sik,sjl->ijkl", A, A.conj()).reshape(D * D, D * D)
-    w, v = np.linalg.eig(E)
-    r = _herm(v[:, np.argmax(np.abs(w))].reshape(D, D))
-    wl, vl = np.linalg.eig(E.conj().T)
-    l = _herm(vl[:, np.argmax(np.abs(wl))].reshape(D, D))
-    lam = np.max(np.abs(w))  # |dominant| of the (unnormalized) transfer
+    r = _herm(vr[:, 0].reshape(D, D))
+    l = _herm(vl[:, 0].reshape(D, D))
+    lam = abs(wr[0])
     A2 = np.einsum("sij,tjk->stik", A, A).reshape(4, D, D)
-    h64 = np.asarray(tfim(1.0).to_matrix(), np.float64)
-    num = np.einsum("ts,ai,sij,jk,tak->", h64, l, A2, r, A2.conj())
-    e64 = (num / (lam ** 2 * np.einsum("ai,ia->", l, r))).real
+    num = np.einsum("ts,ai,sij,jk,tak->", h64, l, A2, r, A2.conj(),
+                    optimize=True)
+    return (num / (lam ** 2 * np.einsum("ai,ia->", l, r))).real
+
+
+def bench_vumps(D=8, iters=250, k=32, env_solver="auto"):
+    """VUMPS row: D-optimal ground state by the tangent-space eigensolver
+    (mps/tdvp.vumps_ground_state).  The error column is an f64 HOST
+    re-evaluation of the returned state's energy (the on-chip f32 energy
+    readout resolves only ~2e-7 relative); the gradient norm readback
+    validates execution (axon rule 7).  D=32/64 run env_solver="gmres"
+    (BASELINE config 5: the O(d D^3) geometric-sum environments)."""
+    from qmps_tpu.ham import tfim, tfim_gs_energy
+    from qmps_tpu.mps.tdvp import vumps_ground_state
+
+    h = np.asarray(tfim(1.0).to_matrix().real, np.float32)
+    AL, _, e, info = vumps_ground_state(
+        h, D, iters=iters, k=k, env_solver=env_solver
+    )  # compile
+    t0 = time.perf_counter()
+    AL, _, e, info = vumps_ground_state(
+        h, D, iters=iters, k=k, env_solver=env_solver,
+        key=jax.random.PRNGKey(2)
+    )
+    dt = time.perf_counter() - t0
+    gn = float(np.asarray(info["grad_norms"][-1]))
+    assert np.isfinite(gn), gn
+    h64 = np.asarray(tfim(1.0).to_matrix().real, np.float64)
+    e64 = _host_energy_gauge_free(AL, h64)
     return {
         f"vumps_iters_per_sec_D{D}": round(iters / dt, 1),
         f"vumps_energy_error_D{D}": float(e64 - float(tfim_gs_energy(1.0))),
+        f"vumps_energy_error_f32_D{D}": float(e) - float(tfim_gs_energy(1.0)),
         f"vumps_grad_norm_D{D}": gn,
     }
 
 
 def main():
+    from qmps_tpu.utils.flops import MXU_F32, VPU_F32, mfu_fields
+
     ladder = {}
     evals_per_sec, evals_per_sec_xla, win_pal, win_xla = bench_overlap_throughput()
     ladder["overlap_evals_per_sec_xla"] = round(evals_per_sec_xla, 1)
     ladder["overlap_windows_sec"] = win_pal
     ladder["overlap_windows_sec_xla"] = win_xla
+    # MFU columns: the D=2 component-plane kernels are elementwise FMA
+    # streams that never touch the MXU — their peak is the VPU (and in
+    # practice HBM); see qmps_tpu/utils/flops.py for the derivations
+    ladder.update(mfu_fields(
+        "overlap", KERNEL_FLOPS["overlap"], evals_per_sec, VPU_F32,
+        hbm_bytes_per_call=KERNEL_HBM_BYTES["overlap"],
+    ))
     env_rate, env_wins = bench_env_solves()
     ladder["env_solves_per_sec"] = round(env_rate, 1)
     ladder["env_windows_sec"] = env_wins
+    ladder.update(mfu_fields(
+        "env_solves", KERNEL_FLOPS["eig40"], env_rate, VPU_F32,
+        hbm_bytes_per_call=KERNEL_HBM_BYTES["eig40"],
+    ))
     ladder.update(bench_tdvp_objective())
+    ladder.update(mfu_fields(
+        "tdvp_obj_fused", KERNEL_FLOPS["tdvp_fwd"],
+        ladder["tdvp_obj_fused_evals_per_sec"], VPU_F32,
+        hbm_bytes_per_call=KERNEL_HBM_BYTES["tdvp_fwd"],
+    ))
+    ladder.update(mfu_fields(
+        "tdvp_obj_grad_fused", KERNEL_FLOPS["tdvp_grad"],
+        ladder["tdvp_obj_grad_fused_evals_per_sec"], VPU_F32,
+    ))
     ladder.update(bench_sweep())
     ladder.update(bench_sweep_fused())
     ladder.update(bench_sweep_deep_bw())
+    # config 4 at large D: the direct-Stiefel sweeps (VERDICT r3 item 1)
+    ladder.update(bench_sweep_stiefel(16, steps=240))
+    ladder.update(bench_sweep_stiefel(32, steps=180))
     # like-for-like single-chain D=2 row (same measurement as D=8/32/64);
     # the batched-sweep throughput stays under its own distinct key
     ladder.update(bench_gs_large_D(2, steps=300))
@@ -457,12 +619,25 @@ def main():
     if not os.environ.get("QMPS_BENCH_SKIP_D64"):
         ladder.update(bench_gs_large_D(64, steps=150))
     ladder.update(bench_vumps(8, iters=250))
+    # BASELINE config 5 flagship: VUMPS at D=32/64 through the GMRES
+    # (O(d D^3) geometric-sum) environment path (VERDICT r3 item 2)
+    ladder.update(bench_vumps(32, iters=150, k=24, env_solver="gmres"))
+    if not os.environ.get("QMPS_BENCH_SKIP_D64"):
+        ladder.update(bench_vumps(64, iters=150, k=24, env_solver="gmres"))
     # config-5 brick-wall leg: deep-brickwork ansatz at D=32 (dense MXU
     # env regime; the D=64 Krylov-regime row shares the skip flag since
     # its first compile is comparable to riemann-D64's ~4 min)
     ladder.update(bench_gs_deep_brickwork(32, steps=500))
+    ladder.update(mfu_fields(
+        "gs_deep_bw_D32", KERNEL_FLOPS["deep_bw_step_D32"],
+        ladder["gs_deep_bw_steps_per_sec_D32"], MXU_F32,
+    ))
     if not os.environ.get("QMPS_BENCH_SKIP_D64"):
         ladder.update(bench_gs_deep_brickwork(64, steps=300))
+        ladder.update(mfu_fields(
+            "gs_deep_bw_D64", KERNEL_FLOPS["deep_bw_step_D64"],
+            ladder["gs_deep_bw_steps_per_sec_D64"], MXU_F32,
+        ))
     print(
         json.dumps(
             {
