@@ -114,7 +114,13 @@ def isometry_energy_warm(V, h, D: int, r0, iters: int = 24, bwd: str = "auto"):
 
     d = 2
     A = V.reshape(D, d, D).transpose(1, 0, 2)
-    _, r = tr.right_eigpair_warm(A, A, r0, iters, bwd)
+    if bwd == "unroll":
+        # plain AD through the warm iterations — the vmapped-small-D
+        # fast path (the implicit LU adjoint is pivot-sequential under
+        # vmap; see transfer.right_eigpair_warm_unroll)
+        _, r = tr.right_eigpair_warm_unroll(A, A, r0, iters)
+    else:
+        _, r = tr.right_eigpair_warm(A, A, r0, iters, bwd)
     rh = (r + cT(r)) / 2
     rh = rh / jnp.trace(rh)
     A2 = merge(A, A)

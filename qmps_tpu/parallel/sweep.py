@@ -53,10 +53,14 @@ def _recycled_loss_env(build, D: int):
     from ..embed.unitaries import unitary_to_tensor
     from ..optim.riemann import isometry_energy_warm
 
-    # the LU bordered adjoint materializes a (D^2+1)^2 system per batch
-    # element under vmap (8.6 GB for a 1024-point sweep at D=32): switch
-    # to the matvec GMRES form once the per-point system stops being small
-    bwd = "gmres" if D >= 16 else "auto"
+    # vmapped sweeps use plain AD through the warm iterations: the LU
+    # bordered adjoint materializes a (D^2+1)^2 system per batch element
+    # AND its pivoting serializes under vmap (measured 49 ms of a 59 ms
+    # step at D=8 B=1024), the batched-GMRES form is 3x worse again;
+    # backward-through-matvecs is pure batched matmuls and is the exact
+    # gradient of the refined energy actually descended
+    # (transfer.right_eigpair_warm_unroll)
+    bwd = "unroll"
 
     def loss_env(h, p, r, iters):
         A = unitary_to_tensor(build(p))
@@ -599,10 +603,11 @@ def _stiefel_sweep_programs(D, lr, momentum, restarts, recycle_iters,
     from .mesh import shard_over_sweep
 
     d = 2
-    # the LU bordered adjoint materializes a (D^2+1)^2 system per batch
-    # element under vmap; the matvec GMRES form is mandatory at D >= 16
+    # plain AD through the warm iterations — batched matmuls only; the
+    # implicit adjoints (LU materializes (D^2+1)^2 per element, GMRES
+    # serializes its orthogonalization) both lose badly under vmap
     # (see _recycled_loss_env)
-    bwd = "gmres" if D >= 16 else "auto"
+    bwd = "unroll"
 
     def loss(V, r, hs, iters):
         return jax.vmap(

@@ -99,6 +99,39 @@ def test_warm_energy_gradient_matches_cold(key):
     np.testing.assert_allclose(np.asarray(g_warm), np.asarray(g_cold), atol=1e-7)
 
 
+def test_unroll_gradient_matches_implicit(key):
+    """bwd="unroll" (plain AD through the warm power iterations — the
+    vmapped-sweep fast path; the batched LU implicit adjoint is
+    pivot-sequential under vmap, measured 49 ms of a 59 ms deep-brickwork
+    step at D=8 B=1024 on v5e) agrees with the implicit c-gauge adjoint
+    at enough iterations: it is the exact gradient of the iters-refined
+    energy, which converges to the implicit gradient as the power
+    residual vanishes (f64)."""
+    from qmps_tpu.optim.riemann import isometry_energy_warm
+
+    D = 4
+    h = tfim(1.2).to_matrix()
+    X = jax.random.normal(key, (2 * D, D)) + 1j * jax.random.normal(
+        jax.random.fold_in(key, 7), (2 * D, D)
+    )
+    V, _ = jnp.linalg.qr(X)
+    r0 = jnp.eye(D, dtype=V.dtype) / np.sqrt(D)
+
+    def vg(bwd):
+        return jax.value_and_grad(
+            lambda V: isometry_energy_warm(
+                V, h, D, jax.lax.stop_gradient(r0), 300, bwd=bwd
+            ),
+            has_aux=True,
+            holomorphic=False,
+        )(V)
+
+    (e_imp, _), g_imp = vg("auto")
+    (e_unr, _), g_unr = vg("unroll")
+    np.testing.assert_allclose(float(e_unr), float(e_imp), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_unr), np.asarray(g_imp), atol=1e-7)
+
+
 def test_warm_start_vector_gets_zero_cotangent(key):
     from qmps_tpu.mps.imps import iMPS
     from qmps_tpu.mps.transfer import right_eigpair_warm

@@ -99,7 +99,13 @@ def test_refine_verbatim_eval_mechanism():
     from qmps_tpu.parallel.sweep import _SWEEP_CACHE
 
     gs = jnp.linspace(0.3, 1.8, 16)
-    for D, steps in ((2, 100), (4, 60)):
+    # D=4 needs enough steps to CONVERGE the ferromagnetic-side points:
+    # below g=1 the optimum is the symmetry-broken state and an
+    # unconverged iterate can sit near transfer-spectrum degeneracy,
+    # where the optimizer's warm 200-iter solve and the evaluator's cold
+    # identity-start solve legitimately disagree (~3e-3 measured at 60
+    # steps) — the (a) guarantee is a statement about converged returns
+    for D, steps in ((2, 100), (4, 150)):
         es, ps = sweep_ground_states(gs, D=D, steps=steps)
         key = next(k for k in _SWEEP_CACHE if k[0] == D and k[2] == steps)
         _, eval_fn = _SWEEP_CACHE[key]
