@@ -44,8 +44,11 @@ KERNEL_FLOPS = {
     "eig40": 7905.0,
     "tdvp_fwd": 9899.0,
     "tdvp_grad": 19798.0,
-    "stiefel_step_D16": 15316736.0,
-    "stiefel_step_D32": 79593152.0,
+    # unroll adjoint + the D-aware recycle_iters default (96 at D >= 16):
+    # despite 4x the warm matvecs, the unrolled vjp is FEWER flops than
+    # the ri=24 GMRES implicit adjoint it replaced (no Krylov basis)
+    "stiefel_step_D16": 11107065.0,
+    "stiefel_step_D32": 84239056.0,
     "deep_bw_step_D32": 37814048.0,
     "deep_bw_step_D64": 602733653.3,
 }
@@ -390,8 +393,10 @@ def bench_sweep_stiefel(D, steps, n_points=1024):
     convergence, not expressivity: direct descent targets the D-optimal
     state (VUMPS at the same D reaches ~1e-5, see vumps_energy_error_D32).
     Step counts are the measured knee of the time/accuracy trade on v5e
-    (D=16: 240 steps -> 53 s; D=32: 180 steps -> 55 s, both max err
-    < 1e-3)."""
+    with the unroll adjoint and the D-aware recycle_iters default of 96
+    (the correctness knob — see sweep_ground_states_stiefel's docstring
+    for the ri sweep): D=16 at 300 steps -> 24 s, max err 8.2e-4;
+    D=32 at 240 steps -> ~48 s, zero points above 5e-3."""
     from qmps_tpu.ham import tfim_gs_energy
     from qmps_tpu.parallel.sweep import sweep_ground_states_stiefel
 
@@ -602,9 +607,10 @@ def main():
     ladder.update(bench_sweep())
     ladder.update(bench_sweep_fused())
     ladder.update(bench_sweep_deep_bw())
-    # config 4 at large D: the direct-Stiefel sweeps (VERDICT r3 item 1)
-    ladder.update(bench_sweep_stiefel(16, steps=240))
-    ladder.update(bench_sweep_stiefel(32, steps=180))
+    # config 4 at large D: the direct-Stiefel sweeps (VERDICT r3 item 1);
+    # recycle_iters rides the library's D-aware default (96 here)
+    ladder.update(bench_sweep_stiefel(16, steps=300))
+    ladder.update(bench_sweep_stiefel(32, steps=240))
     # like-for-like single-chain D=2 row (same measurement as D=8/32/64);
     # the batched-sweep throughput stays under its own distinct key
     ladder.update(bench_gs_large_D(2, steps=300))

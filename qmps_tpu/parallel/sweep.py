@@ -696,7 +696,7 @@ def sweep_ground_states_stiefel(
     momentum: float = 0.9,
     restarts: int = 1,
     key=None,
-    recycle_iters: int = 24,
+    recycle_iters: int | None = None,
     final_iters: int = 200,
     chunk: int | None = 50,
     point_chunk: int | None = None,
@@ -729,11 +729,25 @@ def sweep_ground_states_stiefel(
     program call (working-set crash boundary at D >= 16, see
     sweep_ground_states); ``warm_V`` (n, 2D, D) seeds restart slot 0
     (bond-growth continuation via `grow_isometry`).
+
+    ``recycle_iters`` (None = D-aware default: 24 below D=16, 96 at
+    D >= 16) is a CORRECTNESS knob, not just a speed one: the optimizer
+    descends the iters-refined energy, so if the recycled environment
+    cannot keep up with the state's transfer gap the descent exploits
+    the unconverged readout (energies below the true ground state,
+    outliers that survive the honest final_iters re-evaluation because
+    the state itself is bad).  Measured on one v5e, 1024 points x 300
+    steps, f64-re-evaluated max error vs the exact integral:
+    D=16 ri=24 -> 3.6e-3 (lam_dev 1e-2), ri=48 -> 2.3e-3, ri=96 ->
+    8.2e-4; D=32 ri=24 -> 4.1e-2 (5 points > 5e-3), ri=48 -> 1.1e-2,
+    ri=96 -> 6.6e-4 (zero points > 5e-3, lam_dev 9e-5).
     """
     gs = jnp.asarray(gs)
     n = gs.shape[0]
     key = jax.random.PRNGKey(0) if key is None else key
     ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if recycle_iters is None:
+        recycle_iters = 24 if D < 16 else 96
 
     cache_key = (D, lr, momentum, restarts, recycle_iters, final_iters,
                  mesh, bool(jax.config.jax_enable_x64))

@@ -129,8 +129,11 @@ if "--deep" in sys.argv:
     for D in (16, 32):
         Bs_ = 32
         ftype = jnp.float32
+        # recycle_iters mirrors sweep_ground_states_stiefel's D-aware
+        # default (24 below D=16, 96 at D >= 16) — the audited program
+        # must be the benched program, and the warm-env matvecs dominate
         init, make_advance, _ = _stiefel_sweep_programs(
-            D, 0.08, 0.9, 1, 24, 200, ftype, None
+            D, 0.08, 0.9, 1, 24 if D < 16 else 96, 200, ftype, None
         )
         gs = jnp.linspace(0.5, 1.5, Bs_)
         xre = jax.random.normal(jax.random.PRNGKey(1), (Bs_, 2 * D, D), ftype)
