@@ -204,6 +204,49 @@ class GrownSweepConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class StiefelSweepConfig:
+    """Config 4 at large D, production engine: the phase-diagram sweep by
+    direct Stiefel descent on the (2D, D) isometry
+    (parallel.sweep.sweep_ground_states_stiefel) — the path that meets
+    "1000+ vmapped optimizations, D <= 32, under a minute" on one v5e
+    (D=16: 24 s, D=32 at 240 steps: 47.7 s, both max f64-validated error
+    under 1e-3).  recycle_iters=None rides the library's D-aware default
+    (96 at D >= 16 — the correctness knob, see the sweep docstring)."""
+
+    n_points: int = 1024
+    D: int = 16
+    steps: int = 300
+    g_min: float = 0.1
+    g_max: float = 2.0
+    recycle_iters: int | None = None
+
+    def run(self) -> dict:
+        from .ham import tfim_gs_energy
+        from .parallel.sweep import sweep_ground_states_stiefel
+
+        gs = jnp.linspace(self.g_min, self.g_max, self.n_points)
+        es, _, _ = sweep_ground_states_stiefel(
+            gs, D=self.D, steps=self.steps, recycle_iters=self.recycle_iters
+        )  # compile
+        es.block_until_ready()
+        t0 = time.perf_counter()
+        es, _, _ = sweep_ground_states_stiefel(
+            gs + 1e-3, D=self.D, steps=self.steps,
+            recycle_iters=self.recycle_iters,
+        )
+        es.block_until_ready()
+        dt = time.perf_counter() - t0
+        exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
+        err = np.asarray(es, np.float64) - exact
+        return {
+            "opts_per_sec": self.n_points / dt,
+            "seconds": dt,
+            "median_error": float(np.median(err)),
+            "max_error": float(np.max(err)),
+        }
+
+
+@dataclasses.dataclass(frozen=True)
 class BrickworkConfig:
     """Config 5: gen-2 brickwork TDVP with the flat-matmul hot kernel."""
 
@@ -383,6 +426,9 @@ CONFIG_LADDER = (
     # D = 2 -> 16 ladder (TPU-validated via scripts/tpu_grown_sweep_probe.py
     # before entering the ladder, per the round-3 advisor note)
     GrownSweepConfig(),
+    # config 4 at large D, production engine: direct Stiefel descent
+    # (TPU-validated: 24 s / max err 8.2e-4 at these settings)
+    StiefelSweepConfig(),
     BrickworkConfig(),
     LargeDConfig(D=32),
     LargeDConfig(D=64),

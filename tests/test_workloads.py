@@ -22,6 +22,15 @@ def test_sweep_config():
     assert np.isfinite(m["opts_per_sec"])
 
 
+def test_stiefel_sweep_config():
+    from qmps_tpu.workloads import StiefelSweepConfig
+
+    m = StiefelSweepConfig(n_points=4, D=4, steps=120).run()
+    assert m["max_error"] < 5e-3
+    assert m["median_error"] > -1e-6  # variational: never below exact
+    assert np.isfinite(m["opts_per_sec"])
+
+
 @pytest.mark.slow
 def test_large_d_config():
     from qmps_tpu.workloads import LargeDConfig
