@@ -452,6 +452,24 @@ def bench_sweep_stiefel(D, steps, n_points=1024):
         f"sweep_stiefel_D{D}_median_error_f32": float(np.median(err32)),
         f"sweep_stiefel_D{D}_max_error_f32": float(np.max(err32)),
     }
+
+    # oracle-free per-point convergence certificates: on-chip batched
+    # energy variance of every returned state (parallel/sweep.
+    # sweep_variance_certificates) — a post-pass outside the timed sweep
+    # window; sigma^2 <= ~1e-3 certifies convergence with no exact
+    # integral, for Hamiltonians with no closed form
+    from qmps_tpu.parallel.sweep import sweep_variance_certificates
+
+    warm = sweep_variance_certificates(gs[:256] + 1e-3, As[:256], rs[:256])
+    jax.block_until_ready(warm)  # compile on one chunk shape
+    tc = time.perf_counter()
+    var = np.asarray(sweep_variance_certificates(gs + 1e-3, As, rs),
+                     np.float64)
+    dtc = time.perf_counter() - tc
+    assert np.all(np.isfinite(var))
+    out[f"sweep_stiefel_D{D}_median_variance"] = float(np.median(var))
+    out[f"sweep_stiefel_D{D}_max_variance"] = float(np.max(var))
+    out[f"sweep_stiefel_D{D}_certificate_seconds"] = round(dtc, 3)
     if f"stiefel_step_D{D}" in KERNEL_FLOPS:
         from qmps_tpu.utils.flops import MXU_F32, mfu_fields
 

@@ -302,6 +302,21 @@ class iMPS:
     def energy(self, h: jnp.ndarray) -> jnp.ndarray:
         return self.E2(h).real
 
+    def energy_variance(self, h: jnp.ndarray,
+                        env_solver: str = "dense") -> jnp.ndarray:
+        """Per-site energy variance (<H^2> - <H>^2)/N for H = sum h_{n,n+1}
+        — zero iff the state is an exact eigenstate; the oracle-free
+        convergence certificate (tdvp.energy_variance_density)."""
+        from .tdvp import energy_variance_density
+
+        AL, _, _ = left_orthogonalise(self.blocked)
+        _, r = tr.right_fixed_point(AL, AL)
+        r = (r + cT(r)) / 2
+        r = r / jnp.trace(r)
+        return energy_variance_density(
+            AL, r, jnp.asarray(h, AL.dtype), env_solver=env_solver
+        )
+
     def correlation_length(self) -> jnp.ndarray:
         """xi = -1 / log (|lambda_2| / |lambda_1|) of the transfer spectrum.
 

@@ -137,6 +137,68 @@ def hamiltonian_environments(AL, AR, C, h, env_solver: str = "dense"):
     return HL, HR, e
 
 
+def energy_variance_density(AL, r, h, env_solver: str = "dense",
+                            k: int = 48, restarts: int = 8):
+    """Per-site energy variance sigma^2 = lim_N (<H^2> - <H>^2) / N — the
+    oracle-free convergence certificate: sigma^2 = 0 iff the uMPS is an
+    exact eigenstate of H = sum_n h_{n,n+1}, and for an optimized state
+    the energy error obeys |E - E_0| <= sigma^2 / gap, so a per-point
+    variance readout certifies sweep convergence with no exact integral
+    in the loop (the reference has no analogue; it validates only
+    against closed-form oracles, scripts/ground_state_finding.py:70-72).
+
+    With h~ = h - e the shifted bond term, by translation invariance
+
+        sigma^2 = <h~_0 h~_0> + 2 Re <h~_0 h~_1> + 2 Re sum_{d>=2} <h~_0 h~_d>
+
+    (both operator orders of each unordered pair combine to 2 Re since h
+    is Hermitian).  The d >= 2 tail is the same regularized geometric sum
+    as `hamiltonian_environments`: HL = sum_m E_L^m(hL~) via
+    `_solve_left_env`, then one shifted bond window capped with r.  All
+    terms are O(d^3 D^3) einsums except the solve (dense O(D^6) or
+    GMRES O(d D^3) per matvec — vmap-safe for batched sweep
+    certificates).
+
+    AL left-canonical (d, D, D); r its right fixed point (unit trace,
+    r = C C^dag — only r enters, not C).  Returns a real scalar >= 0
+    (up to solver tolerance).
+    """
+    d = AL.shape[0]
+    h4 = _h4(h)
+    AL2 = _two_site(AL)
+
+    hL = jnp.einsum("uvia,stib,uvst->ab", AL2.conj(), AL2, h4)
+    e = jnp.trace(hL @ r).real
+    eyed = jnp.eye(d * d, dtype=h.dtype)
+    ht = h - e.astype(h.dtype) * eyed
+    ht4 = _h4(ht)
+
+    # d = 0: <h~^2> on one bond
+    t0 = jnp.einsum(
+        "uvia,stib,ba,uvst->", AL2.conj(), AL2, r, _h4(ht @ ht)
+    ).real
+
+    # d = 1: overlapping windows on three sites, O3 = (h~ x I)(I x h~)
+    AL3 = jnp.einsum("uvik,wkj->uvwij", AL2, AL)
+    eye1 = jnp.eye(d, dtype=h.dtype)
+    O3 = jnp.kron(ht, eye1) @ jnp.kron(eye1, ht)
+    t1 = jnp.einsum(
+        "uvwia,stqib,ba,uvwstq->",
+        AL3.conj(), AL3, r, O3.reshape((d,) * 6),
+    ).real
+
+    # d >= 2: geometric sum of the shifted left environment, then one
+    # shifted window capped with r
+    hLs = hL - e.astype(hL.dtype) * jnp.eye(hL.shape[0], dtype=hL.dtype)
+    HL = _solve_left_env(AL, r, hLs, solver=env_solver, k=k,
+                         restarts=restarts)
+    tail = jnp.einsum(
+        "uvia,stjb,ij,ba,uvst->", AL2.conj(), AL2, HL, r, ht4
+    ).real
+
+    return t0 + 2.0 * t1 + 2.0 * tail
+
+
 def effective_H_AC(AC, AL, AR, HL, HR, h):
     """One-site effective Hamiltonian H_AC applied to AC."""
     h4 = _h4(h)

@@ -797,6 +797,77 @@ def sweep_ground_states_stiefel(
     return tuple(jnp.concatenate([o[j] for o in outs]) for j in range(3))
 
 
+_CERT_CACHE: dict = {}
+
+
+def sweep_variance_certificates(
+    gs: jnp.ndarray,
+    As: jnp.ndarray,
+    rs: jnp.ndarray,
+    env_iters: int = 40,
+    k: int = 48,
+    restarts: int = 4,
+    point_chunk: int | None = 256,
+):
+    """Per-point energy-variance certificates for sweep outputs: sigma^2_i
+    = (<H^2> - <H>^2)/N of point i's returned state, H = sum_n h(g_i).
+
+    ORACLE-FREE convergence certification: sigma^2 = 0 iff the state is
+    an exact eigenstate, and |E - E_0| <= sigma^2 / gap for an optimized
+    state, so a point stuck in a bad basin or short of convergence is
+    flagged by its own variance — no exact integral in the loop (the
+    error columns in bench.py need the closed-form TFIM oracle; this
+    column works for any Hamiltonian).  The reference validates only
+    against oracles (scripts/ground_state_finding.py:70-72).
+
+    As (n, d, D, D) left-canonical tensors and rs (n, D, D) converged
+    right environments, as returned by sweep_ground_states_stiefel; the
+    environments are re-refined with ``env_iters`` warm power matvecs,
+    then each certificate runs the GMRES geometric tail of
+    mps.tdvp.energy_variance_density, vmapped over points and chunked
+    like the sweep itself.  f32 on chip resolves sigma^2 to ~1e-6
+    absolute — ample to separate converged (<=1e-4) from stuck (>=1e-2)
+    points.  Returns (n,) real variances.
+    """
+    from ..mps.tdvp import energy_variance_density
+
+    gs = jnp.asarray(gs)
+    n = gs.shape[0]
+    D = As.shape[-1]
+
+    cache_key = (D, env_iters, k, restarts, As.dtype)
+    fn = _CERT_CACHE.get(cache_key)
+    if fn is None:
+
+        def one(g, A, r0):
+            h = tfim_matrix(g)
+
+            def body(r, _):
+                r = jnp.einsum("sai,ij,sbj->ab", A, r, A.conj())
+                r = (r + r.conj().T) / 2
+                return r / jnp.linalg.norm(r), None
+
+            r, _ = jax.lax.scan(body, r0, None, length=env_iters)
+            r = r / jnp.trace(r)
+            return energy_variance_density(
+                A, r, h.astype(A.dtype), env_solver="gmres",
+                k=k, restarts=restarts,
+            )
+
+        fn = jax.jit(jax.vmap(one))
+        if len(_CERT_CACHE) >= 16:
+            _CERT_CACHE.pop(next(iter(_CERT_CACHE)))
+        _CERT_CACHE[cache_key] = fn
+
+    if not point_chunk or n <= point_chunk:
+        return fn(gs, As, rs)
+    return jnp.concatenate([
+        fn(gs[i : i + point_chunk], As[i : i + point_chunk],
+           rs[i : i + point_chunk])
+        for i in range(0, n, point_chunk)
+    ])
+
+
 def grow_isometry(A, eps: float = 1e-3, key=None):
     """Bond-growth warm start in TENSOR space: embed a converged (d, D, D)
     left-canonical tensor into (d, 2D, 2D) as the direct sum with an
