@@ -395,7 +395,7 @@ def bench_sweep_stiefel(D, steps, n_points=1024):
     Step counts are the measured knee of the time/accuracy trade on v5e
     with the unroll adjoint and the D-aware recycle_iters default of 96
     (the correctness knob — see sweep_ground_states_stiefel's docstring
-    for the ri sweep): D=16 at 300 steps -> 24 s, max err 8.2e-4;
+    for the ri sweep): D=16 at 300 steps -> 30 s, max err 7.1e-4;
     D=32 at 240 steps -> ~48 s, zero points above 5e-3."""
     from qmps_tpu.ham import tfim_gs_energy
     from qmps_tpu.parallel.sweep import sweep_ground_states_stiefel

@@ -209,7 +209,7 @@ class StiefelSweepConfig:
     direct Stiefel descent on the (2D, D) isometry
     (parallel.sweep.sweep_ground_states_stiefel) — the path that meets
     "1000+ vmapped optimizations, D <= 32, under a minute" on one v5e
-    (D=16: 24 s, D=32 at 240 steps: 47.7 s, both max f64-validated error
+    (D=16: 30 s, D=32 at 240 steps: 47.8 s, both max f64-validated error
     under 1e-3).  recycle_iters=None rides the library's D-aware default
     (96 at D >= 16 — the correctness knob, see the sweep docstring)."""
 
@@ -427,7 +427,7 @@ CONFIG_LADDER = (
     # before entering the ladder, per the round-3 advisor note)
     GrownSweepConfig(),
     # config 4 at large D, production engine: direct Stiefel descent
-    # (TPU-validated: 24 s / max err 8.2e-4 at these settings)
+    # (TPU-validated: 30 s / max err 7.1e-4 at these settings)
     StiefelSweepConfig(),
     BrickworkConfig(),
     LargeDConfig(D=32),
