@@ -110,6 +110,26 @@ def _evaluate_one(g, p, build, D: int, recycle: bool, final_iters: int = 200):
     return energy_exact_env(build(p), h)
 
 
+def _nested_restart_normals(key, restarts: int, shape, ftype):
+    """(re, im) standard-normal draws of shape (shape[0], restarts, *rest)
+    where slot s's draw depends only on (key, s) — NOT on ``restarts`` —
+    so the restart sets NEST: best-of-(k+1) can never lose to best-of-k
+    at the same key (test_stiefel_sweep.py::test_stiefel_restarts_pick_
+    best_basin caught the flat (n*restarts,)-shaped draw violating this
+    by convergence wiggles ~2e-5).  Used by the Stiefel engine, where
+    the monotonicity property is asserted; the chart/fused engines keep
+    their original flat draws (their published accuracy claims were
+    measured against those streams and nothing asserts nesting there)."""
+    kw = {} if ftype is None else {"dtype": ftype}
+    re = jnp.stack(
+        [jax.random.normal(jax.random.fold_in(key, 101 + s), shape, **kw)
+         for s in range(restarts)], axis=1)
+    im = jnp.stack(
+        [jax.random.normal(jax.random.fold_in(key, 201 + s), shape, **kw)
+         for s in range(restarts)], axis=1)
+    return re, im
+
+
 _SWEEP_CACHE: dict = {}
 
 
@@ -775,10 +795,11 @@ def sweep_ground_states_stiefel(
 
     def run_block(gv, warm, block_key):
         B = gv.shape[0] * restarts
-        xre = jax.random.normal(block_key, (B, 2 * D, D), ftype)
-        xim = jax.random.normal(
-            jax.random.fold_in(block_key, 1), (B, 2 * D, D), ftype
+        xre, xim = _nested_restart_normals(
+            block_key, restarts, (gv.shape[0], 2 * D, D), ftype
         )
+        xre = xre.reshape(B, 2 * D, D)
+        xim = xim.reshape(B, 2 * D, D)
         hs, V, M, r = init(gv, xre, xim, warm)
         done = 0
         while done < steps:

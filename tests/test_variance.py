@@ -148,6 +148,33 @@ def test_sweep_certificates_flag_unconverged_points():
 
 
 @pytest.mark.slow
+def test_variance_extrapolation_beats_largest_D():
+    """E(sigma^2) -> 0 linear extrapolation across a VUMPS D-ladder lands
+    closer to the exact energy than the largest-D point itself
+    (examples/variance_extrapolation.py; measured 24x at g=1 over
+    D=2..8 — gate at 2x over the cheap D=2..4 ladder here)."""
+    from qmps_tpu.mps.tdvp import vumps_ground_state
+
+    g = 1.0
+    h = jnp.asarray(np.asarray(tfim(g).to_matrix()), jnp.complex128)
+    pts = []
+    for D in (2, 3, 4):
+        AL, C, e, _ = vumps_ground_state(
+            h, D=D, iters=300, key=jax.random.PRNGKey(D)
+        )
+        r = C @ C.conj().T
+        r = r / jnp.trace(r)
+        pts.append((float(e), float(energy_variance_density(AL, r, h))))
+    e_arr = np.array([p[0] for p in pts])
+    v = np.array([p[1] for p in pts])
+    w = 1.0 / np.maximum(v, 1e-14)
+    A = np.stack([np.ones_like(v), v], axis=1) * w[:, None]
+    (e0, _), *_ = np.linalg.lstsq(A, e_arr * w, rcond=None)
+    exact = float(tfim_gs_energy(g))
+    assert abs(e0 - exact) < 0.5 * abs(e_arr[-1] - exact), (e0, e_arr[-1], exact)
+
+
+@pytest.mark.slow
 def test_vumps_state_certifies_its_energy_error():
     """The certificate in action: for the VUMPS-converged TFIM state the
     variance bounds the energy error via |E - E0| <= sigma^2 / gap
