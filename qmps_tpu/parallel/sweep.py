@@ -828,7 +828,7 @@ def sweep_variance_certificates(
     env_iters: int = 40,
     k: int = 48,
     restarts: int = 4,
-    point_chunk: int | None = 256,
+    point_chunk: int | None = None,
 ):
     """Per-point energy-variance certificates for sweep outputs: sigma^2_i
     = (<H^2> - <H>^2)/N of point i's returned state, H = sum_n h(g_i).
@@ -855,6 +855,10 @@ def sweep_variance_certificates(
     gs = jnp.asarray(gs)
     n = gs.shape[0]
     D = As.shape[-1]
+    if point_chunk is None:
+        # same axon working-set crash family as the sweeps: the GMRES
+        # Krylov basis is (B, k+1, D^2), keep B * D^2 <= 2^17
+        point_chunk = min(256, max(32, (1 << 17) // (D * D)))
 
     cache_key = (D, env_iters, k, restarts, As.dtype)
     fn = _CERT_CACHE.get(cache_key)
