@@ -236,11 +236,11 @@ def bench_sweep(n_points=1024, steps=300, restarts=4):
     max error < 5e-3) with no post-hoc refinement pass.  Single-restart
     numbers stay in the ladder under ``sweep_r1_*`` for round-over-round
     continuity with BENCH_r01/r02."""
-    from qmps_tpu.ham import tfim_gs_energy
+    from qmps_tpu.ham import tfim_gs_energy_f64
     from qmps_tpu.parallel import sweep_ground_states
 
     gs = jnp.linspace(0.1, 2.0, n_points)
-    exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
+    exact = tfim_gs_energy_f64(np.asarray(gs + 1e-3, np.float64))
     out = {}
     # headline suN row: 4 restarts + one adiabatic-continuation refine
     # pass (both already-compiled program calls) — the accuracy bar is
@@ -273,12 +273,12 @@ def bench_sweep_fused(n_points=1024, steps=300, restarts=4):
     two Pallas launches per optimizer step (kernels/energy_fused.py), no
     expm chart — direct isometry descent with closed-form 2x2 polar
     retraction.  Validated against the exact integral after timing."""
-    from qmps_tpu.ham import tfim_gs_energy
+    from qmps_tpu.ham import tfim_gs_energy_f64
     from qmps_tpu.parallel.sweep import sweep_ground_states_fused
 
     gvals = np.linspace(0.1, 2.0, n_points)
     gs = jnp.asarray(gvals.astype(np.float32))
-    exact = np.asarray(tfim_gs_energy(gvals + 1e-3))
+    exact = tfim_gs_energy_f64(gvals + 1e-3)
     es, _ = sweep_ground_states_fused(gs, steps=steps, restarts=restarts, chunk=50)
     es.block_until_ready()
     _readback_ok(es)
@@ -322,7 +322,7 @@ def bench_gs_large_D(D, steps=200):
     Timed over a second (recompile-free) run; the optimizer is one jitted
     lax.scan so steps/sec is the per-step cost of energy+grad+retraction
     (fixed-point solve included)."""
-    from qmps_tpu.ham import tfim, tfim_gs_energy
+    from qmps_tpu.ham import tfim, tfim_gs_energy_f64
     from qmps_tpu.optim.riemann import ground_state_riemannian
 
     h = tfim(1.0).to_matrix()
@@ -338,7 +338,7 @@ def bench_gs_large_D(D, steps=200):
     assert np.all(np.isfinite(h2))
     # e / e2 are the RETURNED states' energies (hist[-1] is evaluated at
     # the returned isometry, optim/riemann.py) — never best-of-history
-    err = float(min(e, e2)) - float(tfim_gs_energy(1.0))
+    err = float(min(e, e2)) - float(tfim_gs_energy_f64(1.0))
     return {
         f"gs_steps_per_sec_D{D}": round(steps / dt, 2),
         f"gs_energy_error_D{D}": float(err),
@@ -352,11 +352,11 @@ def bench_sweep_deep_bw(n_points=1024, steps=300, D=8):
     ~1e-2 bad-basin point run-to-run; two passes hold max < 5e-3) — vmapped on one chip here; the
     mesh path shards the same program linearly (collectives-free DP,
     tests/test_sweep.py identities)."""
-    from qmps_tpu.ham import tfim_gs_energy
+    from qmps_tpu.ham import tfim_gs_energy_f64
     from qmps_tpu.parallel import sweep_ground_states
 
     gs = jnp.linspace(0.1, 2.0, n_points)
-    exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
+    exact = tfim_gs_energy_f64(np.asarray(gs + 1e-3, np.float64))
     es, _ = sweep_ground_states(
         gs, D=D, ansatz="deep_bw", steps=steps, refine_passes=2
     )  # compile
@@ -397,7 +397,7 @@ def bench_sweep_stiefel(D, steps, n_points=1024):
     (the correctness knob — see sweep_ground_states_stiefel's docstring
     for the ri sweep): D=16 at 300 steps -> 30 s, max err 7.1e-4;
     D=32 at 240 steps -> ~48 s, zero points above 5e-3."""
-    from qmps_tpu.ham import tfim_gs_energy
+    from qmps_tpu.ham import tfim_gs_energy_f64
     from qmps_tpu.parallel.sweep import sweep_ground_states_stiefel
 
     gvals = np.linspace(0.1, 2.0, n_points).astype(np.float64)
@@ -406,7 +406,7 @@ def bench_sweep_stiefel(D, steps, n_points=1024):
     jax.block_until_ready(es)
     _readback_ok(es)
 
-    exact = np.asarray(tfim_gs_energy(gvals + 1e-3))
+    exact = tfim_gs_energy_f64(gvals + 1e-3)
     t0 = time.perf_counter()
     es, As, rs = sweep_ground_states_stiefel(gs + 1e-3, D=D, steps=steps)
     jax.block_until_ready(es)
@@ -414,34 +414,12 @@ def bench_sweep_stiefel(D, steps, n_points=1024):
     err32 = np.asarray(es, np.float64) - exact
     assert np.all(np.isfinite(err32))
 
-    # f64 host re-evaluation of the returned isometries (complex D2H is
-    # unimplemented on this backend -> float planes), environment power
-    # iteration warm-started from the returned fixed points rs
-    split = jax.jit(lambda X: (jnp.real(X).astype(jnp.float32),
-                               jnp.imag(X).astype(jnp.float32)))
-    ar, ai = split(As)
-    rr, ri = split(rs)
-    A = np.asarray(ar, np.float64) + 1j * np.asarray(ai, np.float64)
-    r = np.asarray(rr, np.float64) + 1j * np.asarray(ri, np.float64)
-    for _ in range(40):
-        r = np.einsum("bsik,bkl,bsjl->bij", A, r, A.conj(), optimize=True)
-        r = (r + np.conj(np.swapaxes(r, 1, 2))) / 2
-        r /= np.linalg.norm(r, axis=(1, 2))[:, None, None]
-    lam = np.einsum(
-        "bsik,bkl,bsjl,bij->b", A, r, A.conj(), np.conj(r), optimize=True
-    ).real / np.einsum("bij,bij->b", r, np.conj(r)).real
-    rt = r / np.trace(r, axis1=1, axis2=2)[:, None, None]
-    X = np.array([[0.0, 1.0], [1.0, 0.0]])
-    Z = np.diag([1.0, -1.0])
-    I2 = np.eye(2)
-    A2 = np.einsum("bsij,btjk->bstik", A, A).reshape(-1, 4, D, D)
-    hs = np.stack([
-        -np.kron(Z, Z) + g / 2 * (np.kron(X, I2) + np.kron(I2, X))
-        for g in gvals + 1e-3
-    ])
-    e64 = np.einsum(
-        "bts,bsij,bjk,btik->b", hs, A2, rt, A2.conj(), optimize=True
-    ).real / (lam ** 2)
+    # f64 host re-evaluation of the returned isometries, environment
+    # power iteration warm-started from the returned fixed points rs
+    # (shared implementation: qmps_tpu/utils/host_eval.py)
+    from qmps_tpu.utils.host_eval import host_f64_sweep_energies, tfim_h64_batch
+
+    e64, _ = host_f64_sweep_energies(As, rs, tfim_h64_batch(gvals + 1e-3))
     err = e64 - exact
     assert np.all(np.isfinite(err))
     out = {
@@ -451,6 +429,10 @@ def bench_sweep_stiefel(D, steps, n_points=1024):
         f"sweep_stiefel_D{D}_max_error": float(np.max(err)),
         f"sweep_stiefel_D{D}_median_error_f32": float(np.median(err32)),
         f"sweep_stiefel_D{D}_max_error_f32": float(np.max(err32)),
+        # signed minimum: energies below exact would flag an exploited
+        # environment readout (the recycle_iters failure mode) that
+        # max/median cannot see
+        f"sweep_stiefel_D{D}_min_error": float(np.min(err)),
     }
 
     # oracle-free per-point convergence certificates: on-chip batched
@@ -489,7 +471,7 @@ def bench_gs_deep_brickwork(D, steps=200, depth=None):
     Timed over a second, recompile-free run; reported energies are the
     returned states'."""
     from qmps_tpu.algorithms import ground_state_deep_brickwork
-    from qmps_tpu.ham import tfim, tfim_gs_energy
+    from qmps_tpu.ham import tfim, tfim_gs_energy_f64
 
     H = tfim(1.0)
     gs = ground_state_deep_brickwork(
@@ -502,60 +484,11 @@ def bench_gs_deep_brickwork(D, steps=200, depth=None):
     )
     dt = time.perf_counter() - t0
     assert np.all(np.isfinite(np.asarray(gs2.history)))
-    err = min(gs.energy, gs2.energy) - float(tfim_gs_energy(1.0))
+    err = min(gs.energy, gs2.energy) - float(tfim_gs_energy_f64(1.0))
     return {
         f"gs_deep_bw_steps_per_sec_D{D}": round(steps / dt, 2),
         f"gs_deep_bw_energy_error_D{D}": float(err),
     }
-
-
-def _host_energy_gauge_free(AL_dev, h64):
-    """f64 gauge-free energy of a returned uMPS tensor, on the host.
-
-    ARPACK dominant left/right fixed points of the transfer map in
-    OPERATOR form (O(d D^3) per matvec — the dense (D^2, D^2) eig is
-    O(D^6) and unaffordable at D=64), then the two-site contraction.
-    Both fixed points enter because the f32-rounded tensor is
-    left-canonical only to ~1e-7 — identity-l with a slightly
-    non-canonical A reported energies BELOW the exact bound."""
-    from scipy.sparse.linalg import LinearOperator, eigs
-
-    split = jax.jit(lambda X: (jnp.real(X).astype(jnp.float32),
-                               jnp.imag(X).astype(jnp.float32)))
-    ar, ai = split(AL_dev)
-    A = np.asarray(ar, np.float64) + 1j * np.asarray(ai, np.float64)
-    D = A.shape[-1]
-
-    def right_mv(x):
-        r = x.reshape(D, D)
-        return np.einsum("sik,kl,sjl->ij", A, r, A.conj(),
-                         optimize=True).ravel()
-
-    def left_mv(x):
-        l = x.reshape(D, D)
-        return np.einsum("ski,kl,slj->ij", A.conj(), l, A,
-                         optimize=True).ravel()
-
-    wr, vr = eigs(LinearOperator((D * D,) * 2, matvec=right_mv), k=1,
-                  which="LM")
-    wl, vl = eigs(LinearOperator((D * D,) * 2, matvec=left_mv), k=1,
-                  which="LM")
-
-    def _herm(m):
-        # rotate the eig-arbitrary global phase away BEFORE hermitizing:
-        # (r + r^H)/2 of e^{i phi} r_true is cos(phi) r_true, which can
-        # collapse to ~0 and turn the energy ratio into 0/0
-        tr = np.trace(m)
-        m = m * (np.conj(tr) / abs(tr)) if abs(tr) > 1e-30 else m
-        return (m + m.conj().T) / 2
-
-    r = _herm(vr[:, 0].reshape(D, D))
-    l = _herm(vl[:, 0].reshape(D, D))
-    lam = abs(wr[0])
-    A2 = np.einsum("sij,tjk->stik", A, A).reshape(4, D, D)
-    num = np.einsum("ts,ai,sij,jk,tak->", h64, l, A2, r, A2.conj(),
-                    optimize=True)
-    return (num / (lam ** 2 * np.einsum("ai,ia->", l, r))).real
 
 
 def bench_vumps(D=8, iters=250, k=32, env_solver="auto"):
@@ -565,7 +498,7 @@ def bench_vumps(D=8, iters=250, k=32, env_solver="auto"):
     readout resolves only ~2e-7 relative); the gradient norm readback
     validates execution (axon rule 7).  D=32/64 run env_solver="gmres"
     (BASELINE config 5: the O(d D^3) geometric-sum environments)."""
-    from qmps_tpu.ham import tfim, tfim_gs_energy
+    from qmps_tpu.ham import tfim, tfim_gs_energy_f64
     from qmps_tpu.mps.tdvp import vumps_ground_state
 
     h = np.asarray(tfim(1.0).to_matrix().real, np.float32)
@@ -581,87 +514,133 @@ def bench_vumps(D=8, iters=250, k=32, env_solver="auto"):
     gn = float(np.asarray(info["grad_norms"][-1]))
     assert np.isfinite(gn), gn
     h64 = np.asarray(tfim(1.0).to_matrix().real, np.float64)
-    e64 = _host_energy_gauge_free(AL, h64)
+    from qmps_tpu.utils.host_eval import host_energy_gauge_free
+
+    e64 = host_energy_gauge_free(AL, h64)
     return {
         f"vumps_iters_per_sec_D{D}": round(iters / dt, 1),
-        f"vumps_energy_error_D{D}": float(e64 - float(tfim_gs_energy(1.0))),
-        f"vumps_energy_error_f32_D{D}": float(e) - float(tfim_gs_energy(1.0)),
+        f"vumps_energy_error_D{D}": float(e64 - float(tfim_gs_energy_f64(1.0))),
+        f"vumps_energy_error_f32_D{D}": float(e) - float(tfim_gs_energy_f64(1.0)),
         f"vumps_grad_norm_D{D}": gn,
     }
 
 
 def main():
+    import sys
+
     from qmps_tpu.utils.flops import MXU_F32, VPU_F32, mfu_fields
 
     ladder = {}
-    evals_per_sec, evals_per_sec_xla, win_pal, win_xla = bench_overlap_throughput()
-    ladder["overlap_evals_per_sec_xla"] = round(evals_per_sec_xla, 1)
-    ladder["overlap_windows_sec"] = win_pal
-    ladder["overlap_windows_sec_xla"] = win_xla
-    # MFU columns: the D=2 component-plane kernels are elementwise FMA
-    # streams that never touch the MXU — their peak is the VPU (and in
-    # practice HBM); see qmps_tpu/utils/flops.py for the derivations
-    ladder.update(mfu_fields(
-        "overlap", KERNEL_FLOPS["overlap"], evals_per_sec, VPU_F32,
-        hbm_bytes_per_call=KERNEL_HBM_BYTES["overlap"],
-    ))
-    env_rate, env_wins = bench_env_solves()
-    ladder["env_solves_per_sec"] = round(env_rate, 1)
-    ladder["env_windows_sec"] = env_wins
-    ladder.update(mfu_fields(
-        "env_solves", KERNEL_FLOPS["eig40"], env_rate, VPU_F32,
-        hbm_bytes_per_call=KERNEL_HBM_BYTES["eig40"],
-    ))
-    ladder.update(bench_tdvp_objective())
-    ladder.update(mfu_fields(
-        "tdvp_obj_fused", KERNEL_FLOPS["tdvp_fwd"],
-        ladder["tdvp_obj_fused_evals_per_sec"], VPU_F32,
-        hbm_bytes_per_call=KERNEL_HBM_BYTES["tdvp_fwd"],
-    ))
-    ladder.update(mfu_fields(
-        "tdvp_obj_grad_fused", KERNEL_FLOPS["tdvp_grad"],
-        ladder["tdvp_obj_grad_fused_evals_per_sec"], VPU_F32,
-    ))
-    ladder.update(bench_sweep())
-    ladder.update(bench_sweep_fused())
-    ladder.update(bench_sweep_deep_bw())
+    failed = []
+    headline = {"evals_per_sec": 0.0}
+
+    def row(name, fn):
+        """One ladder block.  A crashed block — e.g. a transient
+        'TPU backend error (Aborted)' from the tunneled worker, observed
+        once in ~30 full-ladder runs — records the failure and lets the
+        REST of the ladder run and the final JSON line print, instead of
+        losing the whole round's artifact to one flaky dispatch."""
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            failed.append(f"{name}: {type(exc).__name__}: {exc}"[:300])
+            print(f"# bench row {name} FAILED: {exc!r}", file=sys.stderr,
+                  flush=True)
+
+    def _overlap():
+        evals_per_sec, evals_per_sec_xla, win_pal, win_xla = (
+            bench_overlap_throughput()
+        )
+        headline["evals_per_sec"] = evals_per_sec
+        ladder["overlap_evals_per_sec_xla"] = round(evals_per_sec_xla, 1)
+        ladder["overlap_windows_sec"] = win_pal
+        ladder["overlap_windows_sec_xla"] = win_xla
+        # MFU columns: the D=2 component-plane kernels are elementwise FMA
+        # streams that never touch the MXU — their peak is the VPU (and in
+        # practice HBM); see qmps_tpu/utils/flops.py for the derivations
+        ladder.update(mfu_fields(
+            "overlap", KERNEL_FLOPS["overlap"], evals_per_sec, VPU_F32,
+            hbm_bytes_per_call=KERNEL_HBM_BYTES["overlap"],
+        ))
+
+    row("overlap", _overlap)
+
+    def _env():
+        env_rate, env_wins = bench_env_solves()
+        ladder["env_solves_per_sec"] = round(env_rate, 1)
+        ladder["env_windows_sec"] = env_wins
+        ladder.update(mfu_fields(
+            "env_solves", KERNEL_FLOPS["eig40"], env_rate, VPU_F32,
+            hbm_bytes_per_call=KERNEL_HBM_BYTES["eig40"],
+        ))
+
+    row("env_solves", _env)
+
+    def _tdvp_obj():
+        ladder.update(bench_tdvp_objective())
+        ladder.update(mfu_fields(
+            "tdvp_obj_fused", KERNEL_FLOPS["tdvp_fwd"],
+            ladder["tdvp_obj_fused_evals_per_sec"], VPU_F32,
+            hbm_bytes_per_call=KERNEL_HBM_BYTES["tdvp_fwd"],
+        ))
+        ladder.update(mfu_fields(
+            "tdvp_obj_grad_fused", KERNEL_FLOPS["tdvp_grad"],
+            ladder["tdvp_obj_grad_fused_evals_per_sec"], VPU_F32,
+        ))
+
+    row("tdvp_objective", _tdvp_obj)
+
+    def _sweep_d2():
+        ladder.update(bench_sweep())
+        # like-for-like single-chain D=2 throughput, derived from the
+        # single-restart sweep row (same measurement as gs D=8/32/64)
+        ladder["gs_batched_chain_steps_per_sec_D2"] = round(
+            ladder["sweep_r1_opts_per_sec"] * 300, 1
+        )
+
+    row("sweep", _sweep_d2)
+    row("sweep_fused", lambda: ladder.update(bench_sweep_fused()))
+    row("sweep_deep_bw", lambda: ladder.update(bench_sweep_deep_bw()))
     # config 4 at large D: the direct-Stiefel sweeps (VERDICT r3 item 1);
     # recycle_iters rides the library's D-aware default (96 here)
-    ladder.update(bench_sweep_stiefel(16, steps=300))
-    ladder.update(bench_sweep_stiefel(32, steps=240))
-    # like-for-like single-chain D=2 row (same measurement as D=8/32/64);
-    # the batched-sweep throughput stays under its own distinct key
-    ladder.update(bench_gs_large_D(2, steps=300))
-    ladder["gs_batched_chain_steps_per_sec_D2"] = round(
-        ladder["sweep_r1_opts_per_sec"] * 300, 1
-    )
-    ladder.update(bench_gs_large_D(8, steps=300))
-    ladder.update(bench_gs_large_D(32, steps=200))
+    row("sweep_stiefel_D16",
+        lambda: ladder.update(bench_sweep_stiefel(16, steps=300)))
+    row("sweep_stiefel_D32",
+        lambda: ladder.update(bench_sweep_stiefel(32, steps=240)))
+    row("gs_D2", lambda: ladder.update(bench_gs_large_D(2, steps=300)))
+    row("gs_D8", lambda: ladder.update(bench_gs_large_D(8, steps=300)))
+    row("gs_D32", lambda: ladder.update(bench_gs_large_D(32, steps=200)))
     # D=64 runs through the matvec Krylov path (restarted Arnoldi forward +
     # fixed-shape GMRES adjoint); ~4 min first compile, 6s/run thereafter.
     # Set QMPS_BENCH_SKIP_D64=1 to skip under a tight driver timeout.
     if not os.environ.get("QMPS_BENCH_SKIP_D64"):
-        ladder.update(bench_gs_large_D(64, steps=150))
-    ladder.update(bench_vumps(8, iters=250))
+        row("gs_D64", lambda: ladder.update(bench_gs_large_D(64, steps=150)))
+    row("vumps_D8", lambda: ladder.update(bench_vumps(8, iters=250)))
     # BASELINE config 5 flagship: VUMPS at D=32/64 through the GMRES
     # (O(d D^3) geometric-sum) environment path (VERDICT r3 item 2)
-    ladder.update(bench_vumps(32, iters=150, k=24, env_solver="gmres"))
+    row("vumps_D32", lambda: ladder.update(
+        bench_vumps(32, iters=150, k=24, env_solver="gmres")))
     if not os.environ.get("QMPS_BENCH_SKIP_D64"):
-        ladder.update(bench_vumps(64, iters=150, k=24, env_solver="gmres"))
+        row("vumps_D64", lambda: ladder.update(
+            bench_vumps(64, iters=150, k=24, env_solver="gmres")))
+
     # config-5 brick-wall leg: deep-brickwork ansatz at D=32 (dense MXU
     # env regime; the D=64 Krylov-regime row shares the skip flag since
     # its first compile is comparable to riemann-D64's ~4 min)
-    ladder.update(bench_gs_deep_brickwork(32, steps=500))
-    ladder.update(mfu_fields(
-        "gs_deep_bw_D32", KERNEL_FLOPS["deep_bw_step_D32"],
-        ladder["gs_deep_bw_steps_per_sec_D32"], MXU_F32,
-    ))
-    if not os.environ.get("QMPS_BENCH_SKIP_D64"):
-        ladder.update(bench_gs_deep_brickwork(64, steps=300))
+    def _deep_bw(D, steps):
+        ladder.update(bench_gs_deep_brickwork(D, steps=steps))
         ladder.update(mfu_fields(
-            "gs_deep_bw_D64", KERNEL_FLOPS["deep_bw_step_D64"],
-            ladder["gs_deep_bw_steps_per_sec_D64"], MXU_F32,
+            f"gs_deep_bw_D{D}", KERNEL_FLOPS[f"deep_bw_step_D{D}"],
+            ladder[f"gs_deep_bw_steps_per_sec_D{D}"], MXU_F32,
         ))
+
+    row("gs_deep_bw_D32", lambda: _deep_bw(32, 500))
+    if not os.environ.get("QMPS_BENCH_SKIP_D64"):
+        row("gs_deep_bw_D64", lambda: _deep_bw(64, 300))
+
+    if failed:
+        ladder["failed_rows"] = failed
+    evals_per_sec = headline["evals_per_sec"]
     print(
         json.dumps(
             {

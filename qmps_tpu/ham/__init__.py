@@ -11,6 +11,7 @@ from .hamiltonian import (  # noqa: F401
 from .exact import (  # noqa: F401
     loschmidt_rate,
     tfim_gs_energy,
+    tfim_gs_energy_f64,
     xxz_gs_energy,
     xxz_staggered_magnetization,
     xy_gs_energy,

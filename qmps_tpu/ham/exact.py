@@ -41,6 +41,21 @@ def tfim_gs_energy(g) -> jnp.ndarray:
     return -(eps * w).sum(-1) / jnp.pi
 
 
+def tfim_gs_energy_f64(g) -> np.ndarray:
+    """Host numpy float64 twin of ``tfim_gs_energy`` — same quadrature.
+
+    The jitted version computes in the SESSION dtype: under the benches'
+    f32 TPU sessions (QMPS_TPU_X64=0) the 256-node weighted sum carries a
+    ~1e-6 accumulation floor, which poisons SIGNED error columns — it
+    surfaced as sweep min_error = -4.5e-6, energies apparently below the
+    variational bound, with the state readout already f64-exact.  Use
+    this twin wherever the oracle anchors an error column."""
+    k, w = _gl_nodes()
+    g = np.asarray(g, np.float64)[..., None]
+    eps = np.sqrt(1.0 + g ** 2 - 2.0 * g * np.cos(k))
+    return -(eps * w).sum(-1) / np.pi
+
+
 def xy_gs_energy() -> float:
     """E0 per site of the XY chain H = sum (XX + YY): free fermions at half
     filling, E = -(1/pi) Int_{-pi/2}^{pi/2} 2|2 cos k| dk / 2 = -4/pi.

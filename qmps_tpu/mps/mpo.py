@@ -98,6 +98,21 @@ class MPO:
         ]
         if tril:
             raise ValueError(f"W must be upper triangular, nonzero at {tril}")
+        # interior diagonal blocks drive the geometric environment sums:
+        # the interior system (1 - W[b,b] x E) is solved WITHOUT the
+        # rank-1 deflation that regularizes the corner blocks, so it is
+        # singular when spectral_radius(W[b,b]) >= 1 (e.g. W[1,1] = I, a
+        # non-decaying infinite-range coupling) — jnp.linalg.solve would
+        # return non-finite values silently inside jit.  Reject here.
+        for b in range(1, chi - 1):
+            rad = np.max(np.abs(np.linalg.eigvals(W[b, b])))
+            if rad >= 1.0 - 1e-12:
+                raise ValueError(
+                    f"interior diagonal block W[{b},{b}] has spectral "
+                    f"radius {rad:.6f} >= 1: the geometric environment "
+                    "sum diverges (only decaying interior strings are "
+                    "representable; see mpo_exp_decay's |lam| < 1 rule)"
+                )
         self.W = W.astype(np.complex128)
 
     @property
@@ -118,9 +133,7 @@ class MPO:
         vr = np.zeros(chi)
         vr[-1] = 1.0
         # boundary-contracted transfer product over the MPO bond:
-        # M[b] = d^n x d^n operator with left bond ending in state b
-        M = {a: None for a in range(chi)}
-        M[0] = np.eye(1)
+        # cur[b] = d^k x d^k operator with left bond ending in state b
         cur = {0: np.eye(1)}
         for _ in range(n):
             nxt = {}
@@ -132,7 +145,10 @@ class MPO:
                     term = np.kron(op, blk)
                     nxt[b] = term if b not in nxt else nxt[b] + term
             cur = nxt
-        return cur[chi - 1]
+        # no string terminates inside the window (e.g. a field-free
+        # nearest-neighbour MPO at n=1): the Hamiltonian restricted to
+        # the window is the zero operator, not a KeyError
+        return cur.get(chi - 1, np.zeros((d**n, d**n), np.complex128))
 
 
 def mpo_tfim(g: float, J: float = 1.0) -> MPO:

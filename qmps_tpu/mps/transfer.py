@@ -263,6 +263,23 @@ def right_fixed_point(A: jnp.ndarray, B: jnp.ndarray, dense: bool = True, iters:
 # ---------------------------------------------------------------------------
 
 
+def _power_forward(A, B, r0, iters: int):
+    """Normalized right power iteration from r0 + Rayleigh quotient —
+    the ONE forward body shared by right_eigpair_warm (implicit adjoint)
+    and right_eigpair_warm_unroll (plain AD): the unroll path's gradient
+    claim ("exact gradient of the quantity actually evaluated") holds
+    only while the two forwards are numerically identical."""
+
+    def it(r, _):
+        w = right_matvec(A, B, r)
+        return w / jnp.linalg.norm(w), None
+
+    start = _match_vma(r0 / jnp.linalg.norm(r0), A, B)
+    r, _ = jax.lax.scan(it, start, None, length=iters)
+    lam = jnp.einsum("ij,ij->", r.conj(), right_matvec(A, B, r))
+    return lam, r
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def right_eigpair_warm(
     A: jnp.ndarray, B: jnp.ndarray, r0: jnp.ndarray, iters: int = 24,
@@ -292,15 +309,7 @@ def right_eigpair_warm(
     iteration (positive for A == B with a PSD start).
     """
     del bwd
-
-    def it(r, _):
-        w = right_matvec(A, B, r)
-        return w / jnp.linalg.norm(w), None
-
-    start = _match_vma(r0 / jnp.linalg.norm(r0), A, B)
-    r, _ = jax.lax.scan(it, start, None, length=iters)
-    lam = jnp.einsum("ij,ij->", r.conj(), right_matvec(A, B, r))
-    return lam, r
+    return _power_forward(A, B, r0, iters)
 
 
 def _warm_fwd(A, B, r0, iters, bwd):
@@ -382,15 +391,7 @@ def right_eigpair_warm_unroll(A, B, r0, iters: int = 24):
     the implicit gradient.  The implicit form stays the right tool for
     CONVERGED-point gradients at small spectral gaps (docs/DESIGN.md 4b).
     """
-
-    def it(r, _):
-        w = right_matvec(A, B, r)
-        return w / jnp.linalg.norm(w), None
-
-    start = _match_vma(r0 / jnp.linalg.norm(r0), A, B)
-    r, _ = jax.lax.scan(it, start, None, length=iters)
-    lam = jnp.einsum("ij,ij->", r.conj(), right_matvec(A, B, r))
-    return lam, r
+    return _power_forward(A, B, r0, iters)
 
 
 def left_fixed_point(A: jnp.ndarray, B: jnp.ndarray, dense: bool = True, iters: int = 40):

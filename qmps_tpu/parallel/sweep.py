@@ -121,11 +121,15 @@ def _nested_restart_normals(key, restarts: int, shape, ftype):
     their original flat draws (their published accuracy claims were
     measured against those streams and nothing asserts nesting there)."""
     kw = {} if ftype is None else {"dtype": ftype}
+    # two independent branch keys, then fold the slot index into each —
+    # flat offsets (101+s / 201+s) would collide at restarts > 100 and
+    # correlate slot 100's real stream with slot 0's imaginary one
+    kre, kim = jax.random.fold_in(key, 0), jax.random.fold_in(key, 1)
     re = jnp.stack(
-        [jax.random.normal(jax.random.fold_in(key, 101 + s), shape, **kw)
+        [jax.random.normal(jax.random.fold_in(kre, s), shape, **kw)
          for s in range(restarts)], axis=1)
     im = jnp.stack(
-        [jax.random.normal(jax.random.fold_in(key, 201 + s), shape, **kw)
+        [jax.random.normal(jax.random.fold_in(kim, s), shape, **kw)
          for s in range(restarts)], axis=1)
     return re, im
 
@@ -726,9 +730,11 @@ def sweep_ground_states_stiefel(
     """BASELINE config 4 at large D: the phase-diagram sweep through
     DIRECT Stiefel-manifold descent on the (2D, D) MPS isometry — no
     expm chart, no chart jacobian; per step the whole batch pays one
-    vjp of the warm-environment energy (batched power matvecs + GMRES
-    implicit adjoint), a tangent projection, and a Newton-Schulz polar
-    retraction: every FLOP is a batched real matmul on the MXU.
+    vjp of the warm-environment energy (batched power matvecs with the
+    unroll adjoint — plain reverse-mode AD back through the warm
+    iterations, transfer.right_eigpair_warm_unroll), a tangent
+    projection, and a Newton-Schulz polar retraction: every FLOP is a
+    batched real matmul on the MXU.
 
     This is the engine that meets the "1000+ vmapped optimizations,
     D <= 32, under a minute" target (BASELINE.md:27-28): the suN-chart
@@ -784,12 +790,14 @@ def sweep_ground_states_stiefel(
     init, make_advance, finish = fns
 
     if point_chunk is None and D >= 16:
-        # same working-set crash family as the chart sweep, but the
-        # boundary scales with the GMRES adjoint's (B, k, D^2) Krylov
-        # basis: B*D^2 <= 2^17 (D=16: 512, D=32: 128).  Measured on chip:
+        # same working-set crash family as the chart sweep; the boundary
+        # is per-dispatch BATCH (points x restarts), empirically
+        # B * D^2 <= 2^17 (D=16: 512, D=32: 128).  Measured on chip:
         # D=32 at B=256 returns silently-failed (non-finite) dispatches,
-        # at B=128 it is clean.
-        point_chunk = max(32, (1 << 17) // (D * D))
+        # at B=128 it is clean.  (The boundary was first derived from
+        # the since-replaced GMRES adjoint's Krylov basis; the unroll
+        # adjoint's residual stack (iters, B, D, D) is the same order.)
+        point_chunk = max(32, (1 << 17) // (D * D * restarts))
     if chunk is None:
         chunk = steps
 

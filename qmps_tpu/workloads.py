@@ -34,7 +34,7 @@ class GroundStateConfig:
 
     def run(self) -> dict:
         from .algorithms import find_ground_state
-        from .ham import tfim, tfim_gs_energy
+        from .ham import tfim, tfim_gs_energy_f64
 
         t0 = time.perf_counter()
         res = find_ground_state(
@@ -42,7 +42,7 @@ class GroundStateConfig:
             method=self.method, steps=self.steps,
         )
         dt = time.perf_counter() - t0
-        e_exact = float(tfim_gs_energy(self.g))
+        e_exact = float(tfim_gs_energy_f64(self.g))
         return {
             "energy": res.energy,
             "exact": e_exact,
@@ -95,7 +95,7 @@ class SweepConfig:
     refine_passes: int = 0
 
     def run(self) -> dict:
-        from .ham import tfim_gs_energy
+        from .ham import tfim_gs_energy_f64
         from .parallel import make_mesh, sweep_ground_states
 
         gs = jnp.linspace(self.g_min, self.g_max, self.n_points)
@@ -113,13 +113,17 @@ class SweepConfig:
         )
         es.block_until_ready()
         dt = time.perf_counter() - t0
-        exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
+        exact = tfim_gs_energy_f64(np.asarray(gs + 1e-3, np.float64))
         err = np.asarray(es, np.float64) - exact
         return {
             "opts_per_sec": self.n_points / dt,
             "seconds": dt,
             "median_error": float(np.median(err)),
             "max_error": float(np.max(err)),
+            # signed minimum: energies BELOW exact flag an unconverged
+            # or exploited environment readout (the recycle_iters
+            # correctness knob), which max/median alone cannot see
+            "min_error": float(np.min(err)),
         }
 
 
@@ -138,7 +142,7 @@ class FusedSweepConfig:
     chunk: int = 50  # bounds the scan-length compile cliff (DESIGN.md)
 
     def run(self) -> dict:
-        from .ham import tfim_gs_energy
+        from .ham import tfim_gs_energy_f64
         from .parallel.sweep import sweep_ground_states_fused
 
         gs = jnp.linspace(self.g_min, self.g_max, self.n_points)
@@ -152,13 +156,17 @@ class FusedSweepConfig:
         )
         es.block_until_ready()
         dt = time.perf_counter() - t0
-        exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
+        exact = tfim_gs_energy_f64(np.asarray(gs + 1e-3, np.float64))
         err = np.asarray(es, np.float64) - exact
         return {
             "opts_per_sec": self.n_points / dt,
             "seconds": dt,
             "median_error": float(np.median(err)),
             "max_error": float(np.max(err)),
+            # signed minimum: energies BELOW exact flag an unconverged
+            # or exploited environment readout (the recycle_iters
+            # correctness knob), which max/median alone cannot see
+            "min_error": float(np.min(err)),
         }
 
 
@@ -179,7 +187,7 @@ class GrownSweepConfig:
     D_start: int = 2
 
     def run(self) -> dict:
-        from .ham import tfim_gs_energy
+        from .ham import tfim_gs_energy_f64
         from .parallel.sweep import sweep_ground_states_grown
 
         gs = jnp.linspace(self.g_min, self.g_max, self.n_points)
@@ -193,13 +201,17 @@ class GrownSweepConfig:
         )
         es.block_until_ready()
         dt = time.perf_counter() - t0
-        exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
+        exact = tfim_gs_energy_f64(np.asarray(gs + 1e-3, np.float64))
         err = np.asarray(es, np.float64) - exact
         return {
             "opts_per_sec": self.n_points / dt,
             "seconds": dt,
             "median_error": float(np.median(err)),
             "max_error": float(np.max(err)),
+            # signed minimum: energies BELOW exact flag an unconverged
+            # or exploited environment readout (the recycle_iters
+            # correctness knob), which max/median alone cannot see
+            "min_error": float(np.min(err)),
         }
 
 
@@ -221,7 +233,7 @@ class StiefelSweepConfig:
     recycle_iters: int | None = None
 
     def run(self) -> dict:
-        from .ham import tfim_gs_energy
+        from .ham import tfim_gs_energy_f64
         from .parallel.sweep import sweep_ground_states_stiefel
 
         gs = jnp.linspace(self.g_min, self.g_max, self.n_points)
@@ -236,13 +248,17 @@ class StiefelSweepConfig:
         )
         es.block_until_ready()
         dt = time.perf_counter() - t0
-        exact = np.asarray(tfim_gs_energy(np.asarray(gs + 1e-3, np.float64)))
+        exact = tfim_gs_energy_f64(np.asarray(gs + 1e-3, np.float64))
         err = np.asarray(es, np.float64) - exact
         return {
             "opts_per_sec": self.n_points / dt,
             "seconds": dt,
             "median_error": float(np.median(err)),
             "max_error": float(np.max(err)),
+            # signed minimum: energies BELOW exact flag an unconverged
+            # or exploited environment readout (the recycle_iters
+            # correctness knob), which max/median alone cannot see
+            "min_error": float(np.min(err)),
         }
 
 
@@ -343,7 +359,7 @@ class LargeDConfig:
     steps: int = 150
 
     def run(self) -> dict:
-        from .ham import tfim, tfim_gs_energy
+        from .ham import tfim, tfim_gs_energy_f64
         from .optim.riemann import ground_state_riemannian
 
         h = tfim(self.g).to_matrix()
@@ -354,7 +370,7 @@ class LargeDConfig:
         dt = time.perf_counter() - t0
         h_np = np.asarray(hist)
         assert np.all(np.isfinite(h_np))
-        e_exact = float(tfim_gs_energy(self.g))
+        e_exact = float(tfim_gs_energy_f64(self.g))
         # e is the RETURNED state's energy (hist[-1] is evaluated at the
         # returned isometry) — never report best-of-history the returned
         # parameters don't achieve
@@ -383,7 +399,7 @@ class DeepBrickworkConfig:
 
     def run(self) -> dict:
         from .algorithms import ground_state_deep_brickwork
-        from .ham import tfim, tfim_gs_energy
+        from .ham import tfim, tfim_gs_energy_f64
 
         t0 = time.perf_counter()
         gs = ground_state_deep_brickwork(
@@ -393,7 +409,7 @@ class DeepBrickworkConfig:
         dt = time.perf_counter() - t0
         h_np = np.asarray(gs.history)
         assert np.all(np.isfinite(h_np))
-        e_exact = float(tfim_gs_energy(self.g))
+        e_exact = float(tfim_gs_energy_f64(self.g))
         return {
             "energy": gs.energy,  # the returned state's energy
             "exact": e_exact,

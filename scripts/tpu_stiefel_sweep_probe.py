@@ -28,12 +28,12 @@ steps = int(sys.argv[3]) if len(sys.argv) > 3 else 300
 restarts = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 point_chunk = int(sys.argv[5]) if len(sys.argv) > 5 else None
 
-from qmps_tpu.ham import tfim_gs_energy
+from qmps_tpu.ham import tfim_gs_energy_f64
 from qmps_tpu.parallel.sweep import sweep_ground_states_stiefel
 
 gvals = np.linspace(0.1, 2.0, n_points).astype(np.float64)
 gs = jnp.asarray(gvals, jnp.float32)
-exact = np.asarray(tfim_gs_energy(gvals))
+exact = tfim_gs_energy_f64(gvals)
 
 
 def report(tag, es, As, rs, exact):
@@ -52,7 +52,7 @@ jax.block_until_ready(es)
 print(f"cold (incl. compile): {time.perf_counter() - t0:.1f}s", flush=True)
 report("cold f32", es, As, rs, exact)
 
-exact2 = np.asarray(tfim_gs_energy(gvals + 1e-3))
+exact2 = tfim_gs_energy_f64(gvals + 1e-3)
 t0 = time.perf_counter()
 es2, As2, rs2 = sweep_ground_states_stiefel(
     gs + 1e-3, D=D, steps=steps, restarts=restarts, point_chunk=point_chunk
@@ -64,34 +64,12 @@ print(
     f"stiefel D={D} warm: {dt:.3f}s ({n_points / dt:.1f} opts/s)", flush=True
 )
 
-# f64 host re-evaluation of the returned tensors (error-budget column):
-# complex D2H is unimplemented -> float planes; env warm-started from rs2
-split = jax.jit(lambda X: (jnp.real(X).astype(jnp.float32),
-                           jnp.imag(X).astype(jnp.float32)))
-ar, ai = split(As2)
-rr, ri = split(rs2)
-A = np.asarray(ar, np.float64) + 1j * np.asarray(ai, np.float64)
-r = np.asarray(rr, np.float64) + 1j * np.asarray(ri, np.float64)
+# f64 host re-evaluation of the returned tensors (error-budget column);
+# shared implementation with bench.py: qmps_tpu/utils/host_eval.py
+from qmps_tpu.utils.host_eval import host_f64_sweep_energies, tfim_h64_batch
+
 t0 = time.perf_counter()
-for _ in range(40):
-    r = np.einsum("bsik,bkl,bsjl->bij", A, r, A.conj(), optimize=True)
-    r = (r + np.conj(np.swapaxes(r, 1, 2))) / 2
-    r /= np.linalg.norm(r, axis=(1, 2))[:, None, None]
-lam = np.einsum(
-    "bsik,bkl,bsjl,bij->b", A, r, A.conj(), np.conj(r), optimize=True
-).real / np.einsum("bij,bij->b", r, np.conj(r)).real
-rt = r / np.trace(r, axis1=1, axis2=2)[:, None, None]
-X = np.array([[0.0, 1.0], [1.0, 0.0]])
-Z = np.diag([1.0, -1.0])
-I2 = np.eye(2)
-A2 = np.einsum("bsij,btjk->bstik", A, A).reshape(-1, 4, D, D)
-hs = np.stack([
-    -np.kron(Z, Z) + g / 2 * (np.kron(X, I2) + np.kron(I2, X))
-    for g in gvals + 1e-3
-])
-e64 = np.einsum(
-    "bts,bsij,bjk,btik->b", hs, A2, rt, A2.conj(), optimize=True
-).real / (lam ** 2)
+e64, lam = host_f64_sweep_energies(As2, rs2, tfim_h64_batch(gvals + 1e-3))
 err64 = e64 - exact2
 print(
     f"f64 re-eval ({time.perf_counter() - t0:.1f}s): "

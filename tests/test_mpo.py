@@ -105,6 +105,30 @@ class TestConstruction:
         with pytest.raises(ValueError):
             MPO(np.zeros((3, 3, 2, 2)))  # corners not identity
 
+    def test_non_decaying_interior_block_rejected(self):
+        """W[1,1] = I encodes a non-decaying infinite-range string: the
+        interior geometric environment sum diverges (the solve is exactly
+        singular) and would return NaN silently inside jit — construction
+        must reject it, same rule as mpo_exp_decay's |lam| < 1."""
+        W = np.zeros((3, 3, 2, 2), complex)
+        W[0, 0] = I2
+        W[2, 2] = I2
+        W[0, 1] = Z
+        W[1, 1] = I2  # spectral radius 1 interior block
+        W[1, 2] = Z
+        with pytest.raises(ValueError, match="spectral"):
+            MPO(W)
+        # a decaying interior block is fine
+        W[1, 1] = 0.9 * I2
+        assert MPO(W).chi == 3
+
+    def test_window_matrix_no_terminating_string_is_zero(self):
+        """A field-free nearest-neighbour MPO restricted to one site is
+        the zero operator, not a KeyError."""
+        H1 = mpo_exp_decay(-Z, Z, 0.4).matrix(1)
+        assert H1.shape == (2, 2)
+        assert np.abs(H1).max() == 0.0
+
 
 class TestEnergyIdentity:
     """energy_mpo == tdvp.energy_density for any two-site model —

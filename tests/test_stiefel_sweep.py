@@ -2,7 +2,8 @@
 
 The engine under test is sweep_ground_states_stiefel: batched Riemannian
 descent on the (2D, D) MPS isometry with Newton-Schulz polar retraction
-and warm recycled environments (GMRES implicit adjoint at D >= 16) —
+and warm recycled environments (unroll adjoint: reverse-mode AD through
+the warm power matvecs) —
 the path that meets the "1024 points, D <= 32, under a minute" target
 on chip (reference-scale anchor: scripts/ground_state_finding.py:130-163,
 run as independent cluster jobs there).
