@@ -17,7 +17,9 @@ from .mpo import (  # noqa: F401
 )
 from .tdvp import (  # noqa: F401
     split_cell,
+    variance_certificate,
     vumps_ground_state,
     vumps_ground_state_cell2,
+    vumps_ground_state_converged,
 )
 from .transfer import dominant_eig_dense, dominant_eig_power  # noqa: F401

@@ -88,6 +88,14 @@ class MPO:
         if W.ndim != 4 or W.shape[0] != W.shape[1] or W.shape[2] != W.shape[3]:
             raise ValueError(f"W must be (chi, chi, d, d), got {W.shape}")
         chi, _, d, _ = W.shape
+        if chi < 2:
+            # a chi=1 tensor has no (row-0 -> column chi-1) string channel:
+            # both corner checks would hit the same block and the
+            # environment recursion below would never bind its loop
+            # variable (NameError) / return None energies downstream
+            raise ValueError(
+                f"Schur-form MPO needs chi >= 2 bond states, got chi={chi}"
+            )
         eye = np.eye(d)
         for corner in (0, chi - 1):
             if not np.allclose(W[corner, corner], eye, atol=1e-12):

@@ -616,6 +616,97 @@ def vumps_ground_state(h, D: int, iters: int = 150, k: int = 24, key=None,
     return AL, C, float(e), {"grad_norms": gs, "energies": es}
 
 
+def vumps_ground_state_converged(h, D: int, tol: float = 3e-4,
+                                 chunk_iters: int = 150, max_iters: int = 900,
+                                 k: int = 24, key=None, A0=None,
+                                 env_solver: str = "auto"):
+    """VUMPS run to a GRADIENT-NORM knee instead of a fixed window.
+
+    The fixed-iteration program (`vumps_ground_state`) is one compiled
+    lax.scan — the right shape for this backend, but a fixed window
+    truncates large-D runs mid-descent (measured at D=32: 150 iterations
+    stop at grad ~3e-3 / f64 error ~9e-6 where grad ~3e-4 reaches ~1e-7,
+    scripts/tpu_vumps_depth_probe.py).  This wrapper reuses THE SAME
+    compiled chunk program in a host loop, warm-restarting from the
+    returned AL (a device array — re-entering costs one mixed_gauge),
+    and stops at the first chunk whose final gradient norm is <= tol or
+    at ``max_iters``.
+
+    Returns (AL, C, e, info); info adds to the fixed-window contract:
+    - "grad_norms"/"energies": concatenated over all chunks run;
+    - "total_iters": iterations actually executed;
+    - "iters_to_knee": first 1-based iteration with grad <= tol, or -1
+      if the run ended above tol (an f32 plateau or too-small window —
+      callers should report, not assume).
+    """
+    import numpy as np
+
+    grad_hist, e_hist = [], []
+    AL = C = e = None
+    warm = A0
+    total = 0
+    while total < max_iters:
+        AL, C, e, info = vumps_ground_state(
+            h, D, iters=chunk_iters, k=k, key=key, A0=warm,
+            env_solver=env_solver,
+        )
+        grad_hist.append(np.asarray(info["grad_norms"]))
+        e_hist.append(np.asarray(info["energies"]))
+        total += chunk_iters
+        if grad_hist[-1][-1] <= tol:
+            break
+        warm = AL
+    gs = np.concatenate(grad_hist)
+    below = np.nonzero(gs <= tol)[0]
+    info = {
+        "grad_norms": gs,
+        "energies": np.concatenate(e_hist),
+        "total_iters": total,
+        "iters_to_knee": int(below[0]) + 1 if below.size else -1,
+    }
+    return AL, C, e, info
+
+
+@_functools.lru_cache(maxsize=32)
+def _variance_program(D: int, d: int, k: int, restarts: int,
+                      env_solver: str):
+    import jax
+
+    @jax.jit
+    def run(AL, hre, him):
+        h = jax.lax.complex(hre, him).astype(AL.dtype)
+        _, r = tr.right_fixed_point(AL, AL)
+        r = (r + cT(r)) / 2
+        r = r / jnp.trace(r)
+        return energy_variance_density(AL, r, h, env_solver=env_solver,
+                                       k=k, restarts=restarts)
+
+    return run
+
+
+def variance_certificate(AL, h, env_solver: str = "auto", k: int = 48,
+                         restarts: int = 8) -> float:
+    """Oracle-free convergence certificate of a left-canonical state:
+    the per-site energy variance sigma^2 of AL under the two-site h,
+    evaluated at AL's TRUE right fixed point (`energy_variance_density`
+    with the r recomputed — callers hand in just the state).  sigma^2 =
+    0 iff AL is an exact eigenstate; |E - E_0| <= sigma^2 / gap.  AL may
+    be a complex DEVICE array (jit argument — DESIGN.md rule 8); h is a
+    host matrix, split into float planes like every other entry point."""
+    import numpy as np
+
+    d, D, _ = AL.shape
+    if env_solver == "auto":
+        env_solver = "dense" if D <= 24 else "gmres"
+    h_host = np.asarray(h)
+    # working precision follows the STATE (the certificate is about AL)
+    ftype = np.float32 if np.dtype(AL.dtype) == np.complex64 else np.float64
+    hre = jnp.asarray(np.ascontiguousarray(h_host.real), ftype)
+    him = jnp.asarray(np.ascontiguousarray(h_host.imag), ftype)
+    run = _variance_program(int(D), int(d), k, restarts, env_solver)
+    return float(np.asarray(run(AL, hre, him)))
+
+
 def vumps_ground_state_cell2(h, D: int, iters: int = 150, k: int = 24,
                              key=None, A0=None):
     """Two-site unit-cell VUMPS by cell blocking.

@@ -622,7 +622,15 @@ def _stiefel_sweep_programs(D, lr, momentum, restarts, recycle_iters,
     _fused_sweep_programs, XLA-batched instead of Pallas (at D >= 8 the
     per-point work is real D x D / 2D x D matmuls that already land on
     the MXU; what killed the chart path was the expm chart and its
-    jacobian, which this engine simply does not have)."""
+    jacobian, which this engine simply does not have).
+
+    make_advance(length, precision) bakes a matmul-precision tier into
+    the DESCENT program only (the package default is "highest" = 6 bf16
+    MXU passes per f32 matmul; "high" = 3, "default" = 1 — a measured
+    ~6x lever on the matvec-dominated step, scripts/
+    tpu_stiefel_precision_probe.py).  init and finish always run at the
+    ambient (highest) precision: the final energies/environments the
+    caller reads back and re-evaluates in f64 are never cheapened."""
     from ..optim.riemann import isometry_energy_warm
     from .mesh import shard_over_sweep
 
@@ -672,27 +680,32 @@ def _stiefel_sweep_programs(D, lr, momentum, restarts, recycle_iters,
 
     _advance_cache = {}
 
-    def make_advance(length):
-        fn = _advance_cache.get(length)
+    def make_advance(length, precision=None):
+        import contextlib
+
+        fn = _advance_cache.get((length, precision))
         if fn is None:
 
             def advance(V, M, r, hs):
-                def step(carry, _):
-                    V, M, r = carry
-                    (_, r_new), G = vg(V, r, hs)
-                    G = G.conj()
-                    T = sym_proj(V, G)
-                    M = momentum * M + T
-                    V = _polar_ns(V - lr * M)
-                    M = sym_proj(V, M)
-                    return (V, M, r_new), None
+                ctx = (jax.default_matmul_precision(precision)
+                       if precision is not None else contextlib.nullcontext())
+                with ctx:
+                    def step(carry, _):
+                        V, M, r = carry
+                        (_, r_new), G = vg(V, r, hs)
+                        G = G.conj()
+                        T = sym_proj(V, G)
+                        M = momentum * M + T
+                        V = _polar_ns(V - lr * M)
+                        M = sym_proj(V, M)
+                        return (V, M, r_new), None
 
-                (V, M, r), _ = jax.lax.scan(step, (V, M, r), None,
-                                            length=length)
+                    (V, M, r), _ = jax.lax.scan(step, (V, M, r), None,
+                                                length=length)
                 return V, M, r
 
             fn = jax.jit(shard_over_sweep(advance, mesh, check_vma=False))
-            _advance_cache[length] = fn
+            _advance_cache[(length, precision)] = fn
         return fn
 
     @jax.jit
@@ -726,6 +739,8 @@ def sweep_ground_states_stiefel(
     point_chunk: int | None = None,
     mesh: Mesh | None = None,
     warm_V: jnp.ndarray | None = None,
+    precision: str | None = None,
+    polish_steps: int = 0,
 ):
     """BASELINE config 4 at large D: the phase-diagram sweep through
     DIRECT Stiefel-manifold descent on the (2D, D) MPS isometry — no
@@ -767,6 +782,19 @@ def sweep_ground_states_stiefel(
     D=16 ri=24 -> 3.6e-3 (lam_dev 1e-2), ri=48 -> 2.3e-3, ri=96 ->
     8.2e-4; D=32 ri=24 -> 4.1e-2 (5 points > 5e-3), ri=48 -> 1.1e-2,
     ri=96 -> 6.6e-4 (zero points > 5e-3, lam_dev 9e-5).
+
+    ``precision`` / ``polish_steps`` form the two-phase matmul-precision
+    schedule: the first ``steps - polish_steps`` descent steps run at
+    ``precision`` ("default" = 1 bf16 MXU pass per f32 matmul, "high" =
+    3; None inherits the package pin of "highest" = 6), the last
+    ``polish_steps`` and the final_iters energy/environment readout
+    always run at highest.  Rationale: the descent trajectory tolerates
+    bf16 products (momentum averages the rounding; the polar retraction
+    re-orthonormalizes every step) while the READOUT must not — the
+    precision probe (scripts/tpu_stiefel_precision_probe.py) measured
+    pure-default-tier D=32 at ~6x faster but median f64 error 9.8e-4 vs
+    1.4e-5; the two-phase schedule keeps the speed on the descent share
+    and recovers the readout accuracy in the polish tail.
     """
     gs = jnp.asarray(gs)
     n = gs.shape[0]
@@ -801,6 +829,8 @@ def sweep_ground_states_stiefel(
     if chunk is None:
         chunk = steps
 
+    polish = min(max(int(polish_steps), 0), steps) if precision else 0
+
     def run_block(gv, warm, block_key):
         B = gv.shape[0] * restarts
         xre, xim = _nested_restart_normals(
@@ -810,6 +840,10 @@ def sweep_ground_states_stiefel(
         xim = xim.reshape(B, 2 * D, D)
         hs, V, M, r = init(gv, xre, xim, warm)
         done = 0
+        while done < steps - polish:
+            length = min(chunk, steps - polish - done)
+            V, M, r = make_advance(length, precision)(V, M, r, hs)
+            done += length
         while done < steps:
             length = min(chunk, steps - done)
             V, M, r = make_advance(length)(V, M, r, hs)
@@ -870,6 +904,10 @@ def sweep_variance_certificates(
 
     cache_key = (D, env_iters, k, restarts, As.dtype)
     fn = _CERT_CACHE.get(cache_key)
+    if fn is not None:
+        # move-to-end on hit (same recency rule as _STIEFEL_SWEEP_CACHE):
+        # a hot certificate program must not be evicted under churn
+        _CERT_CACHE[cache_key] = _CERT_CACHE.pop(cache_key)
     if fn is None:
 
         def one(g, A, r0):

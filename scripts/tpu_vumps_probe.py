@@ -34,8 +34,8 @@ from qmps_tpu.utils.host_eval import (  # shared with bench.py
 )
 
 
-h = np.asarray(tfim(1.0).to_matrix(), np.float32)
-h64 = np.asarray(tfim(1.0).to_matrix(), np.float64)
+h = np.asarray(tfim(1.0).to_matrix().real, np.float32)
+h64 = np.asarray(tfim(1.0).to_matrix().real, np.float64)
 e_exact = float(tfim_gs_energy_f64(1.0))
 
 t0 = time.perf_counter()

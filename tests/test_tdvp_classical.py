@@ -232,6 +232,72 @@ class TestVUMPS:
         assert abs(e - e_exact) < 5e-4
         assert float(info["grad_norms"][-1]) < 1e-4
 
+    def test_vumps_converged_wrapper_stops_at_knee(self):
+        """vumps_ground_state_converged: chunked warm restarts stop at the
+        first chunk with grad <= tol, iters_to_knee indexes the knee in
+        the concatenated history, and the returned state matches the
+        fixed-window solver's quality (same compiled chunk program)."""
+        from qmps_tpu.mps.tdvp import vumps_ground_state_converged
+
+        h = jnp.asarray(np.asarray(tfim(1.0).to_matrix()))
+        AL, C, e, info = vumps_ground_state_converged(
+            h, 4, tol=1e-6, chunk_iters=60, max_iters=300
+        )
+        e_exact = float(tfim_gs_energy(1.0))
+        gs = info["grad_norms"]
+        knee = info["iters_to_knee"]
+        assert knee > 0, gs[-1]
+        assert gs[knee - 1] <= 1e-6 and np.all(gs[: knee - 1] > 1e-6)
+        assert info["total_iters"] % 60 == 0
+        # stopped at the chunk containing the knee, not at max_iters
+        assert info["total_iters"] == 60 * ((knee + 59) // 60)
+        assert e >= e_exact - 1e-9 and e - e_exact < 1e-4
+        assert gs.shape[0] == info["total_iters"]
+
+    def test_vumps_converged_reports_minus_one_above_tol(self):
+        """An unreachable tol must return iters_to_knee = -1 (and run the
+        full max_iters), never a fabricated knee."""
+        from qmps_tpu.mps.tdvp import vumps_ground_state_converged
+
+        h = jnp.asarray(np.asarray(tfim(1.0).to_matrix()))
+        AL, C, e, info = vumps_ground_state_converged(
+            h, 4, tol=1e-30, chunk_iters=25, max_iters=50
+        )
+        assert info["iters_to_knee"] == -1
+        assert info["total_iters"] == 50
+
+    def test_variance_certificate_matches_direct_and_certifies_vumps(self):
+        """variance_certificate == energy_variance_density at the state's
+        true fixed point; ~0 on a VUMPS-converged state; O(1) on a random
+        state (the stuck/converged separation the sweep column relies on)."""
+        from qmps_tpu.mps.imps import random_tensor, left_orthogonalise
+        from qmps_tpu.mps import transfer as tr
+        from qmps_tpu.mps.tdvp import (
+            energy_variance_density,
+            variance_certificate,
+            vumps_ground_state,
+        )
+
+        h = jnp.asarray(np.asarray(tfim(1.0).to_matrix()))
+        AL, C, e, info = vumps_ground_state(h, 4, iters=150)
+        var = variance_certificate(AL, np.asarray(tfim(1.0).to_matrix()))
+        # converged-but-truncated: sigma^2 measures the D=4 truncation
+        # (~7e-5 at criticality), orders below a stuck point's O(1e-2)
+        assert 0.0 <= var < 1e-3, var
+
+        A = random_tensor(jax.random.PRNGKey(3), 2, 4)
+        ALr, _, _ = left_orthogonalise(A)
+        var_r = variance_certificate(ALr, np.asarray(tfim(1.0).to_matrix()))
+        assert var_r > 1e-2, var_r  # random state: clearly flagged
+
+        _, r = tr.right_fixed_point(ALr, ALr)
+        r = (r + r.conj().T) / 2
+        r = r / jnp.trace(r)
+        direct = float(energy_variance_density(
+            ALr, r, jnp.asarray(np.asarray(tfim(1.0).to_matrix()),
+                                ALr.dtype)))
+        assert abs(var_r - direct) < 1e-8
+
     def test_vumps_xy_and_heisenberg_oracles(self):
         """VUMPS on the sublattice-rotated antiferromagnets hits the
         free-fermion XY energy and the Bethe-ansatz Heisenberg value
