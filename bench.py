@@ -484,10 +484,28 @@ def bench_gs_deep_brickwork(D, steps=200, depth=None):
     )
     dt = time.perf_counter() - t0
     assert np.all(np.isfinite(np.asarray(gs2.history)))
-    err = min(gs.energy, gs2.energy) - float(tfim_gs_energy_f64(1.0))
+    # error budget + certificate for the BEST returned state (VERDICT r4
+    # item 5): the f64 host re-evaluation separates dtype roundoff from
+    # what the returned tensor achieves, and the oracle-free variance
+    # certificate sigma^2 bounds |E - E_0| <= sigma^2 / gap — together
+    # they attribute the plateau (see scripts/tpu_deepbw_plateau_probe.py
+    # and DESIGN.md 4d for the expressivity attribution).
+    from qmps_tpu.mps.tdvp import variance_certificate
+    from qmps_tpu.utils.host_eval import host_energy_gauge_free
+
+    best = gs if gs.energy <= gs2.energy else gs2
+    h64 = np.asarray(tfim(1.0).to_matrix().real, np.float64)
+    e64 = host_energy_gauge_free(best.A, h64)
+    var = variance_certificate(
+        best.A, np.asarray(H.to_matrix().real, np.float32),
+        env_solver="dense" if D <= 24 else "gmres",
+    )
+    e_exact = float(tfim_gs_energy_f64(1.0))
     return {
         f"gs_deep_bw_steps_per_sec_D{D}": round(steps / dt, 2),
-        f"gs_deep_bw_energy_error_D{D}": float(err),
+        f"gs_deep_bw_energy_error_D{D}": float(e64 - e_exact),
+        f"gs_deep_bw_energy_error_f32_D{D}": float(best.energy - e_exact),
+        f"gs_deep_bw_variance_D{D}": float(var),
     }
 
 

@@ -89,6 +89,14 @@ def as_host_matrix(H):
 
     if isinstance(H, Hamiltonian):
         return H.to_matrix()
+    # an MPO with range <= 2 reduces exactly to its bond matrix (so the
+    # circuit-TDVP steppers, whose Trotter gate is two-site, accept MPOs
+    # too); genuinely longer-range MPOs raise there — route those through
+    # mps.tdvp.Trajectory(A0, h=mpo), whose environments handle any range
+    from ..mps.mpo import MPO
+
+    if isinstance(H, MPO):
+        return H.two_site_matrix()
     if isinstance(H, np.ndarray):
         return H
     return H

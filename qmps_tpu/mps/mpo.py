@@ -70,6 +70,8 @@ __all__ = [
     "effective_H_AC_mpo",
     "effective_H_C_mpo",
     "dAC_dC_dt_mpo",
+    "tdvp_step_mpo",
+    "tdvp_step_rk4_mpo",
     "vumps_ground_state_mpo",
 ]
 
@@ -157,6 +159,38 @@ class MPO:
         # nearest-neighbour MPO at n=1): the Hamiltonian restricted to
         # the window is the zero operator, not a KeyError
         return cur.get(chi - 1, np.zeros((d**n, d**n), np.complex128))
+
+    def two_site_matrix(self) -> np.ndarray:
+        """Dense bond Hamiltonian h with H = sum_n h_{n,n+1} — EXACT for
+        MPOs whose strings have range <= 2 (no interior-to-interior
+        blocks in the Schur triangle); raises for longer-range operators
+        rather than silently dropping their strings.  On-site strings
+        (the W[0, chi-1] corner) are split half-and-half across the bond
+        — the same convention as ham.Hamiltonian.to_matrix, so
+        ``mpo_from_two_site(h).two_site_matrix() == h`` exactly and the
+        circuit-TDVP steppers (whose Trotter gate is two-site) can
+        consume any two-site-representable MPO."""
+        chi, d = self.chi, self.d
+        W = self.W
+        long_range = [
+            (a, b) for a in range(1, chi - 1) for b in range(a, chi - 1)
+            if np.any(np.abs(W[a, b]) > 1e-14)
+        ]
+        if long_range:
+            raise ValueError(
+                "MPO has interior-to-interior blocks at "
+                f"{long_range}: its strings have range >= 3 and cannot "
+                "be written as a two-site bond Hamiltonian — use the "
+                "MPO-native evolution path (mps.tdvp.Trajectory(A0, "
+                "h=mpo)) instead"
+            )
+        eye = np.eye(d)
+        h = np.zeros((d * d, d * d), np.complex128)
+        for k in range(1, chi - 1):
+            h += np.kron(W[0, k], W[k, chi - 1])
+        f = W[0, chi - 1]
+        h += 0.5 * (np.kron(f, eye) + np.kron(eye, f))
+        return h
 
 
 def mpo_tfim(g: float, J: float = 1.0) -> MPO:
@@ -439,6 +473,34 @@ def dAC_dC_dt_mpo(AL, AR, C, mpo: MPO, env_solver: str = "dense"):
     dAC = -1j * (gAC - lam_AC * AC)
     dC = -1j * (gC - lam_C * C)
     return dAC, dC, e
+
+
+def _tangent_mpo(mpo: MPO, env_solver: str = "dense"):
+    """tangent(AL, C) -> (dAC, dC, e) under an MPO Hamiltonian — the MPO
+    twin of `tdvp._tangent_dense`, pluggable into the shared generic
+    steppers (`tdvp._euler_step` / `tdvp._rk4_step`) and into
+    `tdvp.Trajectory(A0, h=mpo)`."""
+    def tangent(AL, C):
+        AR = jnp.einsum("ij,sjk,kl->sil", _pinv(C), AL, C)
+        return dAC_dC_dt_mpo(AL, AR, C, mpo, env_solver=env_solver)
+
+    return tangent
+
+
+def tdvp_step_mpo(AL, C, mpo: MPO, dt: float, env_solver: str = "dense"):
+    """One explicit-Euler TDVP step under an MPO Hamiltonian (the
+    gauge-preserving polar retraction is shared with the dense path)."""
+    from .tdvp import _euler_step
+
+    return _euler_step(AL, C, dt, _tangent_mpo(mpo, env_solver))
+
+
+def tdvp_step_rk4_mpo(AL, C, mpo: MPO, dt: float, env_solver: str = "dense"):
+    """One classical-RK4 TDVP step under an MPO Hamiltonian (see
+    `tdvp.tdvp_step_rk4` for the DPT-stability rationale)."""
+    from .tdvp import _rk4_step
+
+    return _rk4_step(AL, C, dt, _tangent_mpo(mpo, env_solver))
 
 
 def dA_dt_mpo(A, mpo: MPO):

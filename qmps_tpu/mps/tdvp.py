@@ -218,14 +218,14 @@ def effective_H_C(C, AL, AR, HL, HR, h):
     return a + HL @ C + C @ HR
 
 
-def dAC_dC_dt(AL, AR, C, h):
+def dAC_dC_dt(AL, AR, C, h, env_solver: str = "dense"):
     """(-i H_AC(AC), -i H_C(C), energy density).
 
     The energy density is subtracted from h everywhere (local terms and the
     geometric sums), so the flow is phase-free: on a variational ground
     state dAC = AL dC exactly (zero physical tangent)."""
     AC = jnp.einsum("sij,jk->sik", AL, C)
-    HL, HR, e = hamiltonian_environments(AL, AR, C, h)
+    HL, HR, e = hamiltonian_environments(AL, AR, C, h, env_solver=env_solver)
     h_shift = h - e * jnp.eye(h.shape[0], dtype=h.dtype)
     dAC = -1j * effective_H_AC(AC, AL, AR, HL, HR, h_shift)
     dC = -1j * effective_H_C(C, AL, AR, HL, HR, h_shift)
@@ -268,15 +268,31 @@ def _refresh_C(ALn):
     )
 
 
+def _euler_step(AL, C, dt: float, tangent):
+    """Generic explicit-Euler TDVP step: ``tangent(AL, C) -> (dAC, dC, e)``
+    supplies the flow (dense two-site h or MPO — mps/mpo.tdvp_step_mpo),
+    the gauge-preserving polar retraction is shared."""
+    dAC, dC, e = tangent(AL, C)
+    AC = jnp.einsum("sij,jk->sik", AL, C) + dt * dAC
+    ALn = _extract_AL(AC, C + dt * dC)
+    return ALn, _refresh_C(ALn), e
+
+
+def _tangent_dense(h, env_solver: str = "dense"):
+    """tangent(AL, C) for a dense two-site h: AR from the center gauge,
+    then the phase-free mixed-gauge flow."""
+    def tangent(AL, C):
+        AR = jnp.einsum("ij,sjk,kl->sil", _pinv(C), AL, C)
+        return dAC_dC_dt(AL, AR, C, h, env_solver=env_solver)
+
+    return tangent
+
+
 def tdvp_step(AL, C, h, dt: float):
     """One explicit-Euler TDVP step in mixed gauge with polar re-extraction
     of AL (AL <- polar(AC') polar(C')^dag): gauge-preserving by
     construction."""
-    AR = jnp.einsum("ij,sjk,kl->sil", _pinv(C), AL, C)
-    dAC, dC, e = dAC_dC_dt(AL, AR, C, h)
-    AC = jnp.einsum("sij,jk->sik", AL, C) + dt * dAC
-    ALn = _extract_AL(AC, C + dt * dC)
-    return ALn, _refresh_C(ALn), e
+    return _euler_step(AL, C, dt, _tangent_dense(h))
 
 
 def _extract_AL(AC, C2):
@@ -287,21 +303,9 @@ def _extract_AL(AC, C2):
     return (UAC @ cT(UC)).reshape(D, d, D).transpose(1, 0, 2)
 
 
-def tdvp_step_rk4(AL, C, h, dt: float):
-    """One classical RK4 TDVP step in mixed gauge.
-
-    The tangent (dAC, dC) is evaluated at four stage points; each stage
-    re-extracts a left-isometric AL from (AC_i, C_i) by polar retraction so
-    the tangent is always evaluated on the manifold.  4x the per-step cost
-    of `tdvp_step`, but stable at time steps where explicit Euler freezes
-    at dynamical phase transitions (the Schmidt-degenerate points): Euler
-    at dt = 2e-3 stalls the g 1.5 -> 0.2 quench at the first DPT, RK4 at
-    the same dt tracks the exact rate function through it."""
-    def tangent(ALi, Ci):
-        ARi = jnp.einsum("ij,sjk,kl->sil", _pinv(Ci), ALi, Ci)
-        dAC, dC, e = dAC_dC_dt(ALi, ARi, Ci, h)
-        return dAC, dC, e
-
+def _rk4_step(AL, C, dt: float, tangent):
+    """Generic classical-RK4 TDVP step (see tdvp_step_rk4 for the physics
+    rationale); ``tangent(AL, C) -> (dAC, dC, e)`` as in `_euler_step`."""
     AC0 = jnp.einsum("sij,jk->sik", AL, C)
     k1AC, k1C, e = tangent(AL, C)
 
@@ -319,36 +323,74 @@ def tdvp_step_rk4(AL, C, h, dt: float):
     return ALn, _refresh_C(ALn), e
 
 
+def tdvp_step_rk4(AL, C, h, dt: float):
+    """One classical RK4 TDVP step in mixed gauge.
+
+    The tangent (dAC, dC) is evaluated at four stage points; each stage
+    re-extracts a left-isometric AL from (AC_i, C_i) by polar retraction so
+    the tangent is always evaluated on the manifold.  4x the per-step cost
+    of `tdvp_step`, but stable at time steps where explicit Euler freezes
+    at dynamical phase transitions (the Schmidt-degenerate points): Euler
+    at dt = 2e-3 stalls the g 1.5 -> 0.2 quench at the first DPT, RK4 at
+    the same dt tracks the exact rate function through it."""
+    return _rk4_step(AL, C, dt, _tangent_dense(h))
+
+
 @dataclasses.dataclass
 class Trajectory:
     """xmps iTDVP.Trajectory analogue: integrate the TDVP flow and report
-    Loschmidt echoes (qmps/loschmidts/mps_loschmidts.py:13-27)."""
+    Loschmidt echoes (qmps/loschmidts/mps_loschmidts.py:13-27).
+
+    ``h`` may be a dense two-site Hamiltonian matrix OR an `mps.mpo.MPO`
+    — the reference's classical comparison drives xmps TDVP with an MPO
+    Hamiltonian (`MPO_TFI`, qmps/loschmidts/mps_loschmidts.py:9-27), and
+    finite-range / exponentially-decaying models (mpo_nnn_ising,
+    mpo_exp_decay) have no two-site form at all.  For a two-site model
+    the two plumbing paths agree array-for-array (tests/test_mpo.py:
+    mpo_from_two_site(h) trajectories match the dense path to 1e-10).
+    ``env_solver`` picks the geometric-sum solver for the MPO/dense
+    environments ("dense" O(D^6) below D~32, "gmres" above).
+
+    Match D to the initial state's entanglement: Schmidt values below
+    the `_pinv` rcond (1e-6) make the truncated C-inverse corrupt the
+    flow rather than guard it (measured on the NNN-Ising g=0.5 ground
+    state: D=4 — smallest Schmidt 1e-4 — tracks L=12 ED to 1e-5 over
+    t <= 0.4, while D=6/8 — Schmidt 1e-7/1e-8 — deviate at 1e-2 / NaN;
+    tests/test_mpo.py::test_nnn_quench_matches_finite_ed)."""
 
     A0: jnp.ndarray
-    h: jnp.ndarray
+    h: object  # dense (d^2, d^2) matrix or mps.mpo.MPO
+    env_solver: str = "dense"
 
     def eulerint(self, T: float, n_steps: int):
         """Integrate the flow with a jitted lax.scan of Euler steps."""
-        return self._integrate(T, n_steps, tdvp_step)
+        return self._integrate(T, n_steps, _euler_step)
 
     def rk4int(self, T: float, n_steps: int):
         """Integrate with classical RK4 stages: 4x the per-step cost of
         `eulerint` but stable at the coarse time steps where explicit Euler
         stalls at dynamical phase transitions (see `tdvp_step_rk4`)."""
-        return self._integrate(T, n_steps, tdvp_step_rk4)
+        return self._integrate(T, n_steps, _rk4_step)
+
+    def _tangent(self):
+        from .mpo import MPO, _tangent_mpo  # deferred: mpo imports tdvp
+
+        if isinstance(self.h, MPO):
+            return _tangent_mpo(self.h, env_solver=self.env_solver)
+        return _tangent_dense(self.h, env_solver=self.env_solver)
 
     def _integrate(self, T: float, n_steps: int, stepper):
         import jax
 
         dt = T / n_steps
         AL, AR, C = mixed_gauge(self.A0)
-        h = self.h
+        tangent = self._tangent()
 
         @jax.jit
         def run(AL, C):
             def step(carry, _):
                 AL, C = carry
-                ALn, Cn, e = stepper(AL, C, h, dt)
+                ALn, Cn, e = stepper(AL, C, dt, tangent)
                 return (ALn, Cn), (ALn, e)
 
             (ALf, Cf), (ALs, es) = jax.lax.scan(step, (AL, C), None, length=n_steps)

@@ -245,6 +245,154 @@ class TestVUMPS:
         assert float(np.asarray(i8["grad_norms"][-1])) < 1e-8
         assert e8 <= e4 + 1e-10
 
+    def test_two_site_matrix_roundtrip_and_long_range_guard(self):
+        """mpo_from_two_site(h).two_site_matrix() == h exactly; a
+        genuinely longer-range MPO refuses the reduction instead of
+        silently dropping its strings."""
+        h = tfim(0.8).to_matrix()
+        np.testing.assert_allclose(
+            mpo_from_two_site(h).two_site_matrix(), h, atol=1e-12
+        )
+        # mpo_tfim's bond matrix reproduces the model with the -gX field
+        # split half/half (ham.tfim convention with g -> -g)
+        np.testing.assert_allclose(
+            mpo_tfim(-0.8).two_site_matrix(), h, atol=1e-12
+        )
+        with pytest.raises(ValueError, match="range"):
+            mpo_nnn_ising(g=0.5, J2=0.2).two_site_matrix()
+        with pytest.raises(ValueError, match="range"):
+            mpo_exp_decay(-Z, Z, 0.4).two_site_matrix()
+
+
+class TestEvolution:
+    """MPO Hamiltonians through the evolution drivers (the reference's
+    classical comparison runs xmps TDVP with MPO_TFI,
+    qmps/loschmidts/mps_loschmidts.py:9-27)."""
+
+    def test_trajectory_mpo_matches_dense_two_site(self):
+        """Trajectory(A0, h=mpo_from_two_site(h)) integrates the SAME
+        flow as Trajectory(A0, h): per-step tensors agree to 1e-10 for
+        both integrators."""
+        from qmps_tpu.mps.tdvp import Trajectory
+
+        key = jax.random.PRNGKey(5)
+        A0 = jax.random.normal(key, (2, 4, 4)) + 1j * jax.random.normal(
+            jax.random.fold_in(key, 1), (2, 4, 4)
+        )
+        h = jnp.asarray(tfim(1.1).to_matrix())
+        m = mpo_from_two_site(np.asarray(h))
+        # rk4 stage points sit off-manifold, where the two (equivalent)
+        # extensive-part subtractions — h - e shift vs measured Rayleigh
+        # quotient — differ by a stage-dependent PHASE; the RK4
+        # combination mixes differently-phased stage tangents, so the
+        # raw tensors agree only to the integrator-difference level
+        # O(dt^3): 1.4e-8 measured at dt = 1/60.  Euler evaluates the
+        # tangent on-manifold only, where the identity is exact (1e-10).
+        # Physical content (energies, echoes) agrees at 1e-10 for both.
+        for integ, tol in (("eulerint", 1e-10), ("rk4int", 5e-8)):
+            td = getattr(Trajectory(A0, h), integ)(0.1, 6)
+            tm = getattr(Trajectory(A0, m), integ)(0.1, 6)
+            # the two plumbing paths subtract the extensive part by
+            # different (equivalent) conventions — h - e shift vs the
+            # measured Rayleigh quotient — which agree exactly ON the
+            # manifold (eulerint: raw tensors match at 1e-10) but pick
+            # up an O(dt^2 . <AC|AC>-drift) global PHASE difference at
+            # RK4 stage points; compare physical content: per-step
+            # phase-aligned tensors + energies + echoes
+            for Ad, Am in zip(np.asarray(td.ALs), np.asarray(tm.ALs)):
+                z = np.vdot(Am, Ad)
+                ph = z / abs(z)
+                assert np.max(np.abs(Ad - ph * Am)) < tol, integ
+            assert float(jnp.abs(td.es - tm.es).max()) < tol, integ
+            np.testing.assert_allclose(
+                np.asarray(td.loschmidts()), np.asarray(tm.loschmidts()),
+                atol=tol,
+            )
+
+    def test_mps_time_evolve_accepts_mpo(self):
+        """The circuit-TDVP stepper consumes a two-site-representable MPO
+        (same Trotter gate as the dense path) and refuses a longer-range
+        one loudly."""
+        from qmps_tpu.algorithms.evolve import MPSTimeEvolve
+
+        h = tfim(0.2).to_matrix()
+        ev_h = MPSTimeEvolve(h, dt=0.02, inner_steps=2)
+        ev_m = MPSTimeEvolve(mpo_from_two_site(h), dt=0.02, inner_steps=2)
+        np.testing.assert_allclose(ev_m.W, ev_h.W, atol=1e-12)
+        with pytest.raises(ValueError, match="range"):
+            MPSTimeEvolve(mpo_nnn_ising(g=0.5, J2=0.2), dt=0.02)
+
+    @pytest.mark.slow
+    def test_nnn_quench_matches_finite_ed(self):
+        """A genuinely longer-range quench end-to-end: NNN-Ising ground
+        state (MPO-VUMPS, D=4) quenched g 0.5 -> 0.9, evolved by MPO-TDVP
+        (RK4), validated against exact dense-ED evolution of the same
+        quench on an L=12 ring — <X>(t) tracks to ~1e-5 over the horizon.
+        No two-site h exists for this model: this is the capability the
+        MPO layer adds to the evolution stack.
+
+        D choice is deliberate: the g0=0.5 ferromagnet's Schmidt spectrum
+        reaches 1e-4 at D=4 but 1e-7 / 1e-8 at D=6/8 — BELOW the TDVP
+        _pinv rcond (1e-6), where the truncated inverse corrupts the flow
+        (measured: D=6 deviates 1e-2, D=8 NaNs; D=4 tracks at 1e-5).
+        Match D to the state's entanglement, don't max it out —
+        Trajectory's docstring carries the same warning."""
+        from qmps_tpu.mps.imps import iMPS
+        from qmps_tpu.mps.tdvp import Trajectory
+
+        g0, g1, J2 = 0.5, 0.9, 0.2
+        L, T, n_steps = 12, 0.4, 40
+
+        AL0, _, e0, info = vumps_ground_state_mpo(
+            mpo_nnn_ising(g=g0, J2=J2), 4, iters=150, k=24
+        )
+        assert float(np.asarray(info["grad_norms"][-1])) < 1e-7
+
+        traj = Trajectory(AL0, mpo_nnn_ising(g=g1, J2=J2)).rk4int(T, n_steps)
+        xs_mps = np.array([
+            float(np.real(np.asarray(iMPS([A]).Es([X]))[0]))
+            for A in np.asarray(traj.ALs)
+        ])
+
+        # independent oracle: dense ED on the periodic ring
+        def ring_h(g):
+            dim = 2 ** L
+            H = np.zeros((dim, dim))
+            Zd = np.diag([1.0, -1.0])
+            Xd = np.array([[0.0, 1.0], [1.0, 0.0]])
+            def site_op(op, i):
+                out = np.eye(1)
+                for j in range(L):
+                    out = np.kron(out, op if j == i else np.eye(2))
+                return out
+            for i in range(L):
+                H -= site_op(Zd, i) @ site_op(Zd, (i + 1) % L)
+                H -= J2 * site_op(Zd, i) @ site_op(Zd, (i + 2) % L)
+                H -= g * site_op(Xd, i)
+            return H
+
+        H0, H1 = ring_h(g0), ring_h(g1)
+        w0, v0 = np.linalg.eigh(H0)
+        psi = v0[:, 0]
+        w1, v1 = np.linalg.eigh(H1)
+        Xtot = sum(
+            np.kron(np.kron(np.eye(2 ** i), np.array([[0, 1], [1, 0]])),
+                    np.eye(2 ** (L - i - 1)))
+            for i in range(L)
+        ) / L
+        c = v1.conj().T @ psi
+        xs_ed = []
+        for k_ in range(n_steps + 1):
+            ph = np.exp(-1j * w1 * (T * k_ / n_steps))
+            psit = v1 @ (ph * c)
+            xs_ed.append(float(np.real(psit.conj() @ (Xtot @ psit))))
+        xs_ed = np.array(xs_ed)
+
+        # initial states agree (gapped phase: L=12 ~ thermodynamic limit)
+        assert abs(xs_mps[0] - xs_ed[0]) < 2e-5
+        assert not np.any(np.isnan(xs_mps))
+        assert np.max(np.abs(xs_mps - xs_ed)) < 1e-4
+
     def test_gmres_env_solver_matches_dense(self):
         """The large-D env-solver path (gmres) reproduces the dense
         geometric sums through the MPO recursion."""
