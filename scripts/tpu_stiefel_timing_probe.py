@@ -34,17 +34,17 @@ key = jax.random.PRNGKey(0)
 
 
 def time_advance(ri, precision=None):
-    fns = _stiefel_sweep_programs(
+    # precision is per-advance-program since the two-phase refactor
+    # (make_advance(length, precision)), no longer a _stiefel_sweep_programs
+    # kwarg
+    init, make_advance, finish = _stiefel_sweep_programs(
         D, 0.08, 0.9, 1, ri, 200, jnp.float32, None
-    ) if precision is None else _stiefel_sweep_programs(
-        D, 0.08, 0.9, 1, ri, 200, jnp.float32, None, precision=precision
     )
-    init, make_advance, finish = fns
     xre = jax.random.normal(key, (B, 2 * D, D), jnp.float32)
     xim = jax.random.normal(jax.random.fold_in(key, 1), (B, 2 * D, D),
                             jnp.float32)
     hs, V, M, r = init(gs, xre, xim, None)
-    adv = make_advance(steps)
+    adv = make_advance(steps, precision)
     V, M, r = adv(V, M, r, hs)  # compile
     jax.block_until_ready(V)
     t0 = time.perf_counter()

@@ -224,7 +224,7 @@ class TestVUMPS:
         from qmps_tpu.mps.imps import random_tensor
         from qmps_tpu.mps.tdvp import vumps_ground_state
 
-        h = jnp.asarray(np.asarray(tfim(1.0).to_matrix(), np.float32))
+        h = jnp.asarray(np.asarray(tfim(1.0).to_matrix().real, np.float32))
         A0 = random_tensor(jax.random.PRNGKey(0), 2, 4, dtype=jnp.complex64)
         AL, C, e, info = vumps_ground_state(h, 4, iters=150, A0=A0)
         assert AL.dtype == jnp.complex64
