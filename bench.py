@@ -378,7 +378,8 @@ def bench_sweep_deep_bw(n_points=1024, steps=300, D=8):
     }
 
 
-def bench_sweep_stiefel(D, steps, n_points=1024):
+def bench_sweep_stiefel(D, steps, n_points=1024, precision=None,
+                        polish_steps=0):
     """BASELINE config 4 at large D: the 1024-point phase-diagram sweep
     by DIRECT Stiefel descent on the (2D, D) isometry (parallel/sweep.
     sweep_ground_states_stiefel) — the engine that meets "1000+ vmapped
@@ -402,13 +403,15 @@ def bench_sweep_stiefel(D, steps, n_points=1024):
 
     gvals = np.linspace(0.1, 2.0, n_points).astype(np.float64)
     gs = jnp.asarray(gvals, jnp.float32)
-    es, _, _ = sweep_ground_states_stiefel(gs, D=D, steps=steps)  # compile
+    kw = dict(D=D, steps=steps, precision=precision,
+              polish_steps=polish_steps)
+    es, _, _ = sweep_ground_states_stiefel(gs, **kw)  # compile
     jax.block_until_ready(es)
     _readback_ok(es)
 
     exact = tfim_gs_energy_f64(gvals + 1e-3)
     t0 = time.perf_counter()
-    es, As, rs = sweep_ground_states_stiefel(gs + 1e-3, D=D, steps=steps)
+    es, As, rs = sweep_ground_states_stiefel(gs + 1e-3, **kw)
     jax.block_until_ready(es)
     dt = time.perf_counter() - t0
     err32 = np.asarray(es, np.float64) - exact
@@ -453,13 +456,22 @@ def bench_sweep_stiefel(D, steps, n_points=1024):
     out[f"sweep_stiefel_D{D}_max_variance"] = float(np.max(var))
     out[f"sweep_stiefel_D{D}_certificate_seconds"] = round(dtc, 3)
     if f"stiefel_step_D{D}" in KERNEL_FLOPS:
-        from qmps_tpu.utils.flops import MXU_F32, mfu_fields
+        from qmps_tpu.utils.flops import MXU_BF16, mfu_fields
 
+        # precision-aware attainable peak: each descent step's matmuls
+        # run at (passes-per-matmul)^-1 of the bf16 systolic rate
+        # (highest = 6 bf16 passes, high = 3, default = 1), so a
+        # two-phase run's ideal time blends the tiers per step —
+        # MFU stays "fraction of what the requested arithmetic could
+        # attain", not a number flattered by the cheap tier
+        passes = {None: 6, "highest": 6, "high": 3, "default": 1}[precision]
+        polish = polish_steps if precision else 0
+        peak = MXU_BF16 * steps / (passes * (steps - polish) + 6 * polish)
         out.update(mfu_fields(
             f"sweep_stiefel_D{D}",
             KERNEL_FLOPS[f"stiefel_step_D{D}"] * steps,
             n_points / dt,
-            MXU_F32,
+            peak,
         ))
     return out
 

@@ -28,47 +28,26 @@ def device_to_host_c128(X_dev):
 def host_energy_gauge_free(AL_dev, h64) -> float:
     """f64 gauge-free energy of a returned uMPS tensor, on the host.
 
-    ARPACK dominant left/right fixed points of the transfer map in
-    OPERATOR form (O(d D^3) per matvec — the dense (D^2, D^2) eig is
-    O(D^6) and unaffordable at D=64), then the two-site contraction.
-    Both fixed points enter because the f32-rounded tensor is
-    left-canonical only to ~1e-7 — identity-l with a slightly
-    non-canonical A reported energies BELOW the exact bound."""
-    from scipy.sparse.linalg import LinearOperator, eigs
-
+    Delegates to the SAME masked-adaptive power + guarded-ARPACK fixed-
+    point machinery as `host_f64_sweep_energies` (n = 1, identity warm
+    starts) — it used to call bare `scipy.eigs` with default tolerance
+    and no v0, which threw ArpackNoConvergence on the deep-brickwork
+    D=64 state (BENCH r5 baseline: 40961 iterations, 0 converged) and
+    lost the whole bench row.  Both fixed points enter because the
+    f32-rounded tensor is left-canonical only to ~1e-7 — identity-l
+    with a slightly non-canonical A reported energies BELOW the exact
+    bound."""
     A = device_to_host_c128(AL_dev)
     D = A.shape[-1]
-
-    def right_mv(x):
-        r = x.reshape(D, D)
-        return np.einsum("sik,kl,sjl->ij", A, r, A.conj(),
-                         optimize=True).ravel()
-
-    def left_mv(x):
-        l = x.reshape(D, D)
-        return np.einsum("ski,kl,slj->ij", A.conj(), l, A,
-                         optimize=True).ravel()
-
-    wr, vr = eigs(LinearOperator((D * D,) * 2, matvec=right_mv), k=1,
-                  which="LM")
-    wl, vl = eigs(LinearOperator((D * D,) * 2, matvec=left_mv), k=1,
-                  which="LM")
-
-    def _herm(m):
-        # rotate the eig-arbitrary global phase away BEFORE hermitizing:
-        # (r + r^H)/2 of e^{i phi} r_true is cos(phi) r_true, which can
-        # collapse to ~0 and turn the energy ratio into 0/0
-        tr = np.trace(m)
-        m = m * (np.conj(tr) / abs(tr)) if abs(tr) > 1e-30 else m
-        return (m + m.conj().T) / 2
-
-    r = _herm(vr[:, 0].reshape(D, D))
-    l = _herm(vl[:, 0].reshape(D, D))
-    lam = abs(wr[0])
-    A2 = np.einsum("sij,tjk->stik", A, A).reshape(4, D, D)
-    num = np.einsum("ts,ai,sij,jk,tak->", h64, l, A2, r, A2.conj(),
-                    optimize=True)
-    return float((num / (lam ** 2 * np.einsum("ai,ia->", l, r))).real)
+    r0 = np.broadcast_to(np.eye(D), (1, D, D)).copy().astype(complex)
+    # single state: host power sweeps are O(d D^3) — afford a deep
+    # adaptive budget before the Krylov tail (near-degenerate transfer
+    # gaps on under-converged states want thousands of sweeps)
+    e64, _ = host_f64_energies(
+        A[None], r0, np.asarray(h64, np.float64)[None],
+        power_iters=200, max_iters=5000,
+    )
+    return float(e64[0])
 
 
 def host_f64_sweep_energies(As_dev, rs_dev, hs64, power_iters: int = 40,
@@ -101,8 +80,16 @@ def host_f64_sweep_energies(As_dev, rs_dev, hs64, power_iters: int = 40,
     expose.  Returns (e64, lam): energies (n,) and the per-point
     transfer eigenvalues (deviation from 1 is the canonicality
     diagnostic the probes print as lam_dev)."""
-    A = device_to_host_c128(As_dev)
-    r = device_to_host_c128(rs_dev)
+    return host_f64_energies(
+        device_to_host_c128(As_dev), device_to_host_c128(rs_dev), hs64,
+        power_iters=power_iters, tol=tol, max_iters=max_iters,
+    )
+
+
+def host_f64_energies(A, r, hs64, power_iters: int = 40,
+                      tol: float = 1e-11, max_iters: int = 200):
+    """Host-array core of `host_f64_sweep_energies` (same contract, A and
+    r already complex128 on the host)."""
     d, D = A.shape[1], A.shape[-1]
 
     def refine(A, x, spec, warm_iters):
@@ -137,6 +124,7 @@ def host_f64_sweep_energies(As_dev, rs_dev, hs64, power_iters: int = 40,
         # Krylov fallback for the slow-gap tail
         live = np.nonzero(resid_of(A, x) >= tol)[0]
         if live.size:
+            from scipy.sparse.linalg import ArpackNoConvergence
             from scipy.sparse.linalg import LinearOperator, eigs
 
             spec1 = spec.replace("b", "")
@@ -148,10 +136,24 @@ def host_f64_sweep_energies(As_dev, rs_dev, hs64, power_iters: int = 40,
                     return np.einsum(spec1, Ab, v.reshape(Dl, Dl),
                                      Ab.conj(), optimize=True).ravel()
 
-                _, vecs = eigs(
-                    LinearOperator((Dl * Dl,) * 2, matvec=mv, dtype=complex),
-                    k=1, which="LM", v0=x[b].ravel(), tol=1e-14,
-                )
+                # tol 1e-13 not machine-eps, a widened subspace, and a
+                # no-convergence guard: ARPACK at default tol threw on a
+                # near-degenerate deep-brickwork D=64 transfer spectrum
+                # (BENCH r5 baseline lost its row to this); a partial
+                # result or the warm power iterate (residual < the
+                # while-loop's exit state, hermitized/normalized already)
+                # is strictly better than losing the readout
+                op = LinearOperator((Dl * Dl,) * 2, matvec=mv,
+                                    dtype=complex)
+                try:
+                    _, vecs = eigs(op, k=1, which="LM", v0=x[b].ravel(),
+                                   tol=1e-13, ncv=min(Dl * Dl, 48))
+                except ArpackNoConvergence as exc:
+                    vecs = (exc.eigenvectors
+                            if getattr(exc, "eigenvectors", None) is not None
+                            and exc.eigenvectors.size else None)
+                if vecs is None:
+                    continue  # keep the power iterate
                 m = vecs[:, 0].reshape(Dl, Dl)
                 tr = np.trace(m)
                 if abs(tr) > 1e-30:  # phase-rotate BEFORE hermitizing

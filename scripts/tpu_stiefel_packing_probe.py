@@ -92,6 +92,10 @@ def _pack(X):
 
 
 def fwd_packed(Are, Aim, rre, rim):
+    # jax.checkpoint on the iteration: the packed carry is p x larger
+    # than the per-point form (the zero blocks are materialized), so
+    # saving every iterate for the backward OOMs at D=16 B=4096 ri=96
+    # (~6.4 GB of residuals); remat trades that for a second forward
     A = _pack(jax.lax.complex(Are, Aim))       # (G, 2, pD, pD)
     r = _pack(jax.lax.complex(rre, rim))       # (G, pD, pD)
 
@@ -103,6 +107,7 @@ def fwd_packed(Are, Aim, rre, rim):
         return r * jnp.repeat(inv, D)[:, None]
 
     def one(A, r):
+        @jax.checkpoint
         def it(r, _):
             return blknorm(matvec(A, r)), None
 
@@ -134,19 +139,22 @@ for prec in (None, "default"):
     ctx = (jax.default_matmul_precision(prec) if prec
            else contextlib.nullcontext())
     with ctx:
-        fp = jax.jit(fwd_plain)
-        fk = jax.jit(fwd_packed)
-        gp = jax.jit(jax.value_and_grad(fwd_plain, argnums=(0, 1)))
-        gk = jax.jit(jax.value_and_grad(fwd_packed, argnums=(0, 1)))
-        tp, vp = timeit(fp, Are, Aim, r0re, r0im)
-        tk, vk = timeit(fk, Are, Aim, r0re, r0im)
-        tgp, vgp = timeit(gp, Are, Aim, r0re, r0im)
-        tgk, vgk = timeit(gk, Are, Aim, r0re, r0im)
-        print(
-            f"D={D} p={p} B={B} iters={iters} prec={prec}: "
-            f"fwd plain {tp * 1e3:.2f} ms / packed {tk * 1e3:.2f} ms "
-            f"({tp / tk:.2f}x), vg plain {tgp * 1e3:.2f} ms / packed "
-            f"{tgk * 1e3:.2f} ms ({tgp / tgk:.2f}x), "
-            f"|lam_sum diff| = {abs(float(vp) - float(vk)):.2e}",
-            flush=True,
-        )
+        for tag, fn in (
+            ("fwd plain ", jax.jit(fwd_plain)),
+            ("fwd packed", jax.jit(fwd_packed)),
+            ("vg  plain ", jax.jit(jax.value_and_grad(fwd_plain,
+                                                      argnums=(0, 1)))),
+            ("vg  packed", jax.jit(jax.value_and_grad(fwd_packed,
+                                                      argnums=(0, 1)))),
+        ):
+            try:
+                t, v = timeit(fn, Are, Aim, r0re, r0im)
+            except Exception as exc:  # noqa: BLE001 — OOM is a result here
+                print(f"D={D} p={p} B={B} iters={iters} prec={prec} "
+                      f"{tag}: FAILED {type(exc).__name__}", flush=True)
+                continue
+            print(
+                f"D={D} p={p} B={B} iters={iters} prec={prec} {tag}: "
+                f"{t * 1e3:.2f} ms, lam_sum={float(v):.6f}",
+                flush=True,
+            )
