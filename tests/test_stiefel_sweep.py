@@ -101,6 +101,28 @@ def test_grow_isometry_preserves_energy_and_feeds_warm_start():
     assert np.all(err8 > -1e-4)
 
 
+def test_stiefel_two_phase_schedule_matches_single_phase():
+    """The two-phase matmul-precision schedule (precision/polish_steps)
+    splits the descent into a cheap-tier program and a highest-tier
+    polish tail.  On CPU the precision hint is numerically a no-op, so
+    the schedule must reproduce the single-phase run exactly — any
+    difference would mean the split changed the step SEQUENCE (state
+    handoff between the two advance programs), not just the matmul
+    tier.  polish_steps clamps to [0, steps]."""
+    gv = jnp.asarray(np.array([0.7, 1.4]))
+    es0, As0, _ = sweep_ground_states_stiefel(gv, D=4, steps=60)
+    es2, As2, _ = sweep_ground_states_stiefel(
+        gv, D=4, steps=60, precision="default", polish_steps=20
+    )
+    np.testing.assert_allclose(np.asarray(es2), np.asarray(es0), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(As2), np.asarray(As0), atol=1e-7)
+    # polish_steps beyond steps clamps (all-highest), below 0 clamps to 0
+    es3, _, _ = sweep_ground_states_stiefel(
+        gv, D=4, steps=60, precision="default", polish_steps=999
+    )
+    np.testing.assert_allclose(np.asarray(es3), np.asarray(es0), atol=1e-9)
+
+
 @pytest.mark.slow
 def test_stiefel_restarts_pick_best_basin():
     gv = np.linspace(0.2, 2.0, 6)
