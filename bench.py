@@ -599,13 +599,18 @@ def bench_vumps(D=8, iters=250, k=32, env_solver="auto"):
     }
 
 
-def bench_vumps_converged(D, tol=3e-4, chunk_iters=150, max_iters=900,
-                          k=24, env_solver="gmres"):
-    """Config-5 flagship at D=32/64, run to the CONVERGENCE KNEE instead
-    of a fixed window (round-4 verdict: 150 iterations stopped the D=32
-    solver at grad ~3e-3 / error ~9e-6 where grad <= 3e-4 reaches ~1e-7
-    — the window was the limit, not the machinery).  The converged
-    driver reuses ONE compiled chunk program in warm-restarted chunks
+def bench_vumps_converged(D, tol=3e-4, chunk_iters=150, max_iters=600,
+                          k=48, env_solver="gmres"):
+    """Config-5 flagship at D=32/64, run to the CONVERGENCE KNEE.
+    The knob that gates the knee is the Lanczos depth k, not the
+    iteration window: the attribution grid
+    (scripts/tpu_vumps_knee_probe.py, D=32 f32) measured k=24 stuck on
+    a ~5e-4 gradient floor (f64 err ~1e-5) that 900 iterations never
+    broke, k=48 through grad 1.3e-4 / f64 err 1.8e-7 within 150
+    iterations on BOTH env solvers (and k=32 diverging outright from
+    the probe seed — the two-regime f32 Lanczos pathology recorded in
+    vumps_ground_state_converged's docstring).  The converged driver
+    reuses ONE compiled chunk program in warm-restarted chunks
     (mps/tdvp.vumps_ground_state_converged); columns report the knee
     iteration, the f64 host re-evaluation of the returned state, and
     the oracle-free variance certificate sigma^2 (|E - E_0| <=
@@ -724,11 +729,17 @@ def main():
     row("sweep_fused", lambda: ladder.update(bench_sweep_fused()))
     row("sweep_deep_bw", lambda: ladder.update(bench_sweep_deep_bw()))
     # config 4 at large D: the direct-Stiefel sweeps (VERDICT r3 item 1);
-    # recycle_iters rides the library's D-aware default (96 here)
+    # recycle_iters rides the library's D-aware default (96 here).
+    # Schedules are the measured knee of the two-phase probe matrix
+    # (scripts/tpu_stiefel_twophase_probe.py, steady-state per DESIGN.md
+    # rule 9): D=32 at (180 steps, default descent + 60 highest polish)
+    # = 24.4 s / max err 7.7e-4 vs round 4's all-highest 240-step
+    # 47.8 s / 5.9e-4 — 2.0x at the same sub-1e-3 gate.
     row("sweep_stiefel_D16",
         lambda: ladder.update(bench_sweep_stiefel(16, steps=300)))
     row("sweep_stiefel_D32",
-        lambda: ladder.update(bench_sweep_stiefel(32, steps=240)))
+        lambda: ladder.update(bench_sweep_stiefel(
+            32, steps=180, precision="default", polish_steps=60)))
     row("gs_D2", lambda: ladder.update(bench_gs_large_D(2, steps=300)))
     row("gs_D8", lambda: ladder.update(bench_gs_large_D(8, steps=300)))
     row("gs_D32", lambda: ladder.update(bench_gs_large_D(32, steps=200)))

@@ -659,20 +659,27 @@ def vumps_ground_state(h, D: int, iters: int = 150, k: int = 24, key=None,
 
 
 def vumps_ground_state_converged(h, D: int, tol: float = 3e-4,
-                                 chunk_iters: int = 150, max_iters: int = 900,
-                                 k: int = 24, key=None, A0=None,
+                                 chunk_iters: int = 150, max_iters: int = 600,
+                                 k: int = 48, key=None, A0=None,
                                  env_solver: str = "auto"):
     """VUMPS run to a GRADIENT-NORM knee instead of a fixed window.
 
     The fixed-iteration program (`vumps_ground_state`) is one compiled
-    lax.scan — the right shape for this backend, but a fixed window
-    truncates large-D runs mid-descent (measured at D=32: 150 iterations
-    stop at grad ~3e-3 / f64 error ~9e-6 where grad ~3e-4 reaches ~1e-7,
-    scripts/tpu_vumps_depth_probe.py).  This wrapper reuses THE SAME
-    compiled chunk program in a host loop, warm-restarting from the
-    returned AL (a device array — re-entering costs one mixed_gauge),
-    and stops at the first chunk whose final gradient norm is <= tol or
-    at ``max_iters``.
+    lax.scan — the right shape for this backend — and the knob that
+    decides whether the knee is reachable at all is the LANCZOS DEPTH
+    ``k``, not the window: the chip attribution grid
+    (scripts/tpu_vumps_knee_probe.py, D=32 f32, both env solvers) put
+    k=24 on a grad floor of ~5e-4 (f64 err ~1e-5) that 900 iterations
+    never broke, while k=48 passed grad 1.3e-4 / f64 err 1.8e-7 within
+    150 iterations — the per-iteration eigensolve residual is
+    re-injected each step and shallow subspaces recycle it forever.
+    (k=32 DIVERGED outright from the probe seed — f32 Lanczos between
+    the two regimes can lock onto a wrong basin; prefer 48.)  Default
+    k=48 accordingly.  This wrapper reuses THE SAME compiled chunk
+    program in a host loop, warm-restarting from the returned AL (a
+    device array — re-entering costs one mixed_gauge), and stops at the
+    first chunk whose final gradient norm is <= tol or at
+    ``max_iters``.
 
     Returns (AL, C, e, info); info adds to the fixed-window contract:
     - "grad_norms"/"energies": concatenated over all chunks run;

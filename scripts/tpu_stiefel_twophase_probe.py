@@ -12,6 +12,11 @@ All variants run in ONE process: precision is baked per advance-program
 (not the global config), so programs don't contaminate each other.
 
 Run: python scripts/tpu_stiefel_twophase_probe.py [D] [steps] [n_points]
+Optionally pass a single variant as [prec] [polish] (prec "none" for
+the all-highest baseline) — one variant per fresh process separates a
+genuine cheap-tier divergence from rule-6 dispatch poisoning by an
+earlier variant (observed: the D=16 pure-default variant read back
+non-finite tensors right after a first-in-process 413 s variant).
 """
 import os
 import sys
@@ -36,14 +41,18 @@ gvals = np.linspace(0.1, 2.0, n_points).astype(np.float64)
 gs = jnp.asarray(gvals, jnp.float32)
 exact = tfim_gs_energy_f64(gvals + 1e-3)
 
-VARIANTS = [
-    (None, 0),          # round-4 baseline: all-highest
-    ("default", 0),     # pure cheap tier (probe r4: fast but 9.8e-4 median)
-    ("default", 30),
-    ("default", 60),
-    ("high", 0),
-    ("high", 30),
-]
+if len(sys.argv) > 5:
+    p = sys.argv[4]
+    VARIANTS = [(None if p == "none" else p, int(sys.argv[5]))]
+else:
+    VARIANTS = [
+        (None, 0),          # round-4 baseline: all-highest
+        ("default", 0),     # pure cheap tier (probe r4: fast, 9.8e-4 median)
+        ("default", 30),
+        ("default", 60),
+        ("high", 0),
+        ("high", 30),
+    ]
 
 for prec, polish in VARIANTS:
     kw = dict(D=D, steps=steps, precision=prec, polish_steps=polish)
@@ -53,6 +62,17 @@ for prec, polish in VARIANTS:
     es, As, rs = sweep_ground_states_stiefel(gs + 1e-3, **kw)
     es = np.asarray(es)  # honest barrier (see tpu_stiefel_precision_probe)
     dt = time.perf_counter() - t0
+    # on-chip readback hygiene BEFORE host eval: non-finite f32 energies
+    # or tensors mean the chip run itself produced garbage (divergence
+    # or a silently-failed dispatch), not a host re-evaluation issue
+    nbad = int(np.sum(~np.isfinite(es)))
+    Ah = np.asarray(As)
+    nbadA = int(np.sum(~np.all(np.isfinite(Ah), axis=(1, 2, 3))))
+    if nbad or nbadA:
+        print(f"prec={prec} polish={polish} D={D} steps={steps}: "
+              f"{dt:.3f} s, NON-FINITE on chip: es {nbad}/{len(es)}, "
+              f"As {nbadA}/{len(Ah)}", flush=True)
+        continue
     e64, _ = host_f64_sweep_energies(As, rs, tfim_h64_batch(gvals + 1e-3))
     err = e64 - exact
     assert np.all(np.isfinite(err))
