@@ -396,8 +396,9 @@ def bench_sweep_stiefel(D, steps, n_points=1024, precision=None,
     Step counts are the measured knee of the time/accuracy trade on v5e
     with the unroll adjoint and the D-aware recycle_iters default of 96
     (the correctness knob — see sweep_ground_states_stiefel's docstring
-    for the ri sweep): D=16 at 300 steps -> 30 s, max err 7.1e-4;
-    D=32 at 240 steps -> ~48 s, zero points above 5e-3."""
+    for the ri sweep): D=16 at 300 high-tier steps -> 21 s, max err
+    7.8e-4; D=32 at 180 default + 60 highest polish -> ~24 s, zero
+    points above 1e-3 (schedule matrices in DESIGN.md 4d)."""
     from qmps_tpu.ham import tfim_gs_energy_f64
     from qmps_tpu.parallel.sweep import sweep_ground_states_stiefel
 
@@ -735,8 +736,15 @@ def main():
     # rule 9): D=32 at (180 steps, default descent + 60 highest polish)
     # = 24.4 s / max err 7.7e-4 vs round 4's all-highest 240-step
     # 47.8 s / 5.9e-4 — 2.0x at the same sub-1e-3 gate.
+    # D=16 runs the high (3-pass) tier throughout: the fresh-process
+    # accuracy matrix measured high == highest bit-for-close (median
+    # 1.66e-5 both, max 7.8e-4 vs 7.6e-4) while the default tier
+    # DIVERGES at D=16 (1/1024 points NaN once >= 270 cheap steps run
+    # — unlike D=32), so the cheap-descent phase is not safe here;
+    # steady-state: highest 29.9 s, high 20.9 s, default+60 18.6 s.
     row("sweep_stiefel_D16",
-        lambda: ladder.update(bench_sweep_stiefel(16, steps=300)))
+        lambda: ladder.update(bench_sweep_stiefel(
+            16, steps=300, precision="high")))
     row("sweep_stiefel_D32",
         lambda: ladder.update(bench_sweep_stiefel(
             32, steps=180, precision="default", polish_steps=60)))

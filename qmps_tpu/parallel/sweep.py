@@ -795,6 +795,13 @@ def sweep_ground_states_stiefel(
     pure-default-tier D=32 at ~6x faster but median f64 error 9.8e-4 vs
     1.4e-5; the two-phase schedule keeps the speed on the descent share
     and recovers the readout accuracy in the polish tail.
+
+    Measured production schedules (steady-state, DESIGN.md 4d): D=32
+    -> precision="default", polish_steps=60 (24 s vs 48 s all-highest,
+    max err 7.7e-4).  D=16 -> precision="high", NO cheap phase: the
+    default tier diverges there (1/1024 points NaN once >= 270 cheap
+    steps run — a small-D instability D=32 does not show), while high
+    matches highest's accuracy at 20.9 s vs 29.9 s.
     """
     gs = jnp.asarray(gs)
     n = gs.shape[0]

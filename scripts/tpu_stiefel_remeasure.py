@@ -33,7 +33,17 @@ n_points = 1024
 gvals = np.linspace(0.1, 2.0, n_points).astype(np.float64)
 gs = jnp.asarray(gvals, jnp.float32)
 
-VARIANTS = [(None, 0), ("default", 60), (None, 0), ("default", 60)]
+# Optional argv[3]: comma-separated prec:polish variants, e.g.
+# "none:0,high:0,default:60" (each timed twice; list is run in order,
+# so put the steady-state comparison AFTER the first-execution victim).
+if len(sys.argv) > 3:
+    VARIANTS = []
+    for spec in sys.argv[3].split(","):
+        p, n = spec.split(":")
+        VARIANTS.append((None if p == "none" else p, int(n)))
+    VARIANTS = VARIANTS * 2
+else:
+    VARIANTS = [(None, 0), ("default", 60), (None, 0), ("default", 60)]
 
 for i, (prec, polish) in enumerate(VARIANTS):
     kw = dict(D=D, steps=steps, precision=prec, polish_steps=polish)

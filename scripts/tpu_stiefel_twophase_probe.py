@@ -66,7 +66,10 @@ for prec, polish in VARIANTS:
     # or tensors mean the chip run itself produced garbage (divergence
     # or a silently-failed dispatch), not a host re-evaluation issue
     nbad = int(np.sum(~np.isfinite(es)))
-    Ah = np.asarray(As)
+    # complex D2H is unimplemented on this backend: read float planes
+    # (the direct np.asarray(As) poisons the process -- see verify skill)
+    from qmps_tpu.utils.host_eval import device_to_host_c128
+    Ah = device_to_host_c128(As)
     nbadA = int(np.sum(~np.all(np.isfinite(Ah), axis=(1, 2, 3))))
     if nbad or nbadA:
         print(f"prec={prec} polish={polish} D={D} steps={steps}: "
