@@ -508,7 +508,7 @@ def bench_gs_deep_brickwork(D, steps=200, depth=None):
 
     best = gs if gs.energy <= gs2.energy else gs2
     h64 = np.asarray(tfim(1.0).to_matrix().real, np.float64)
-    e64 = host_energy_gauge_free(best.A, h64)
+    e64 = host_energy_gauge_free(best.A, h64, f32_ref=float(best.energy))
     var = variance_certificate(
         best.A, np.asarray(H.to_matrix().real, np.float32),
         env_solver="dense" if D <= 24 else "gmres",
@@ -591,7 +591,7 @@ def bench_vumps(D=8, iters=250, k=32, env_solver="auto"):
     h64 = np.asarray(tfim(1.0).to_matrix().real, np.float64)
     from qmps_tpu.utils.host_eval import host_energy_gauge_free
 
-    e64 = host_energy_gauge_free(AL, h64)
+    e64 = host_energy_gauge_free(AL, h64, f32_ref=float(e))
     return {
         f"vumps_iters_per_sec_D{D}": round(iters / dt, 1),
         f"vumps_energy_error_D{D}": float(e64 - float(tfim_gs_energy_f64(1.0))),
@@ -640,7 +640,7 @@ def bench_vumps_converged(D, tol=3e-4, chunk_iters=150, max_iters=600,
     h64 = np.asarray(tfim(1.0).to_matrix().real, np.float64)
     from qmps_tpu.utils.host_eval import host_energy_gauge_free
 
-    e64 = host_energy_gauge_free(AL, h64)
+    e64 = host_energy_gauge_free(AL, h64, f32_ref=float(e))
     var = variance_certificate(AL, h, env_solver=env_solver)
     return {
         f"vumps_iters_per_sec_D{D}": round(info["total_iters"] / dt, 1),
@@ -805,8 +805,8 @@ def main():
     #   2. the full JSON on stderr (driver-visible, not size-gated);
     #   3. the FINAL stdout line: a compact (<1800 chars) JSON with the
     #      headline + judging-critical rows, guaranteed to parse.
-    full = dict(head)
-    full["ladder"] = ladder
+    full = _jsonsafe(dict(head))
+    full["ladder"] = _jsonsafe(ladder)
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1)
@@ -872,9 +872,25 @@ _COMPACT_KEYS = (
 
 def _sig4(v):
     """4 significant digits: full precision lives in BENCH_FULL.json."""
-    if isinstance(v, float) and v != 0.0 and np.isfinite(v):
-        return float(f"{v:.4g}")
+    if isinstance(v, float):
+        if not np.isfinite(v):
+            return None  # json.dumps NaN/Inf is not strict JSON
+        if v != 0.0:
+            return float(f"{v:.4g}")
     return v
+
+
+def _jsonsafe(obj):
+    """NaN/Inf -> null recursively: the guarded f64 host readout returns
+    NaN when both environment starts disagree with the chip value, and a
+    bare NaN in the artifact would break strict-JSON parsers."""
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return None
+    if isinstance(obj, dict):
+        return {k: _jsonsafe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonsafe(v) for v in obj]
+    return obj
 
 
 def _compact_ladder(ladder):

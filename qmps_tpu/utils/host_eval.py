@@ -25,7 +25,8 @@ def device_to_host_c128(X_dev):
     return np.asarray(re, np.float64) + 1j * np.asarray(im, np.float64)
 
 
-def host_energy_gauge_free(AL_dev, h64) -> float:
+def host_energy_gauge_free(AL_dev, h64, f32_ref=None,
+                           max_dev: float = 1e-2) -> float:
     """f64 gauge-free energy of a returned uMPS tensor, on the host.
 
     Delegates to the SAME masked-adaptive power + guarded-ARPACK fixed-
@@ -36,18 +37,38 @@ def host_energy_gauge_free(AL_dev, h64) -> float:
     lost the whole bench row.  Both fixed points enter because the
     f32-rounded tensor is left-canonical only to ~1e-7 — identity-l
     with a slightly non-canonical A reported energies BELOW the exact
-    bound."""
+    bound.
+
+    ``f32_ref``: the chip's own f32 energy of the same state, when the
+    caller has one.  The f64 readout exists to refine that value by
+    ~1e-5 (dtype roundoff) — it can never legitimately move it by
+    ``max_dev``.  The deep-brickwork plateau probe caught the identity-
+    start fixed point landing on a WRONG eigenvector of a near-
+    degenerate transfer spectrum (reported err -0.72 on a state whose
+    chip readout said +7.4e-4).  On disagreement the readout restarts
+    from a random PSD environment with a deeper budget; if both starts
+    disagree with the chip, returns NaN rather than a confident wrong
+    number (callers keep the f32 column either way)."""
     A = device_to_host_c128(AL_dev)
     D = A.shape[-1]
+    h64b = np.asarray(h64, np.float64)[None]
     r0 = np.broadcast_to(np.eye(D), (1, D, D)).copy().astype(complex)
     # single state: host power sweeps are O(d D^3) — afford a deep
     # adaptive budget before the Krylov tail (near-degenerate transfer
     # gaps on under-converged states want thousands of sweeps)
-    e64, _ = host_f64_energies(
-        A[None], r0, np.asarray(h64, np.float64)[None],
-        power_iters=200, max_iters=5000,
-    )
-    return float(e64[0])
+    e64, _ = host_f64_energies(A[None], r0, h64b,
+                               power_iters=200, max_iters=5000)
+    e = float(e64[0])
+    if f32_ref is None or abs(e - float(f32_ref)) <= max_dev:
+        return e
+    rng = np.random.default_rng(0)
+    m = rng.normal(size=(D, D)) + 1j * rng.normal(size=(D, D))
+    r1 = (m @ m.conj().T)[None]
+    r1 /= np.linalg.norm(r1)
+    e64, _ = host_f64_energies(A[None], r1.astype(complex), h64b,
+                               power_iters=500, max_iters=20000)
+    e = float(e64[0])
+    return e if abs(e - float(f32_ref)) <= max_dev else float("nan")
 
 
 def host_f64_sweep_energies(As_dev, rs_dev, hs64, power_iters: int = 40,

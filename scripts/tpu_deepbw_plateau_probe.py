@@ -49,7 +49,7 @@ for depth in (n + 1, n + 2, n + 3):
             H, D=D, depth=depth, steps=steps, key=jax.random.PRNGKey(seed)
         )
         dt = time.perf_counter() - t0
-        e64 = host_energy_gauge_free(gs.A, h64)
+        e64 = host_energy_gauge_free(gs.A, h64, f32_ref=float(gs.energy))
         var = variance_certificate(gs.A, h32,
                                    env_solver="dense" if D <= 24 else "gmres")
         print(
@@ -65,7 +65,7 @@ for steps2 in (steps * 2, steps * 3):
     gs = ground_state_deep_brickwork(
         H, D=D, depth=n + 1, steps=steps2, key=jax.random.PRNGKey(0)
     )
-    e64 = host_energy_gauge_free(gs.A, h64)
+    e64 = host_energy_gauge_free(gs.A, h64, f32_ref=float(gs.energy))
     print(
         f"D={D} depth={n + 1} seed=0 steps={steps2}: "
         f"err_f64={e64 - e_exact:.3e}",

@@ -136,3 +136,19 @@ class TestGaugeFree:
         h = tfim_h64_batch(np.array([1.0]))[0]
         e = host_energy_gauge_free(A, h)
         assert abs(e - _dense_energy(device_to_host_c128(A), h)) < 1e-9
+
+    def test_f32_ref_guard(self, key):
+        """The chip-consistency guard (added after the deep-brickwork
+        plateau probe watched the identity-start fixed point land on a
+        wrong eigenvector and report err -0.72 against a chip readout of
+        +7.4e-4): a consistent f32_ref passes the value through
+        unchanged; an inconsistent one must yield NaN, never a
+        confident wrong number."""
+        A = iMPS.random(key, 2, 6)[0]
+        A = A / jnp.sqrt(jnp.sum(jnp.abs(A) ** 2))
+        h = tfim_h64_batch(np.array([1.0]))[0]
+        e = host_energy_gauge_free(A, h)
+        e_ok = host_energy_gauge_free(A, h, f32_ref=e + 1e-4)
+        assert abs(e_ok - e) < 1e-9
+        e_bad = host_energy_gauge_free(A, h, f32_ref=e + 1.0)
+        assert np.isnan(e_bad)
