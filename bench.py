@@ -514,12 +514,32 @@ def bench_gs_deep_brickwork(D, steps=200, depth=None):
         env_solver="dense" if D <= 24 else "gmres",
     )
     e_exact = float(tfim_gs_energy_f64(1.0))
-    return {
+    out = {
         f"gs_deep_bw_steps_per_sec_D{D}": round(steps / dt, 2),
         f"gs_deep_bw_energy_error_D{D}": float(e64 - e_exact),
         f"gs_deep_bw_energy_error_f32_D{D}": float(best.energy - e_exact),
         f"gs_deep_bw_variance_D{D}": float(var),
     }
+    if D == 32:
+        # the class-floor schedule (DESIGN.md 4d round-5 attribution):
+        # the depth-(n+3) wall reaches the KAK-class expressivity floor
+        # (~6.8e-4) from EVERY seed (8/8 within [6.8, 7.7]e-4 in the
+        # probe matrix), where the default depth needs a 2x window to
+        # get there and scatters 0.8-1.8e-3 across seeds at this one
+        from qmps_tpu.circuits.brickwork_deep import _n_qubits
+
+        gsf = ground_state_deep_brickwork(
+            H, D=D, depth=_n_qubits(D) + 3, steps=steps,
+            key=jax.random.PRNGKey(1),
+        )
+        e64f = host_energy_gauge_free(gsf.A, h64, f32_ref=float(gsf.energy))
+        ef = e64f if np.isfinite(e64f) else float(gsf.energy)
+        out[f"gs_deep_bw_floor_err_D{D}"] = float(ef - e_exact)
+        out[f"gs_deep_bw_floor_variance_D{D}"] = float(variance_certificate(
+            gsf.A, np.asarray(H.to_matrix().real, np.float32),
+            env_solver="gmres",
+        ))
+    return out
 
 
 def bench_tdvp_quench(n_steps=100, t_max=2.0, inner_steps=60):
@@ -854,6 +874,7 @@ _COMPACT_KEYS = (
     "sweep_fused_max_error",
     # config 5 brick-wall leg
     "gs_deep_bw_energy_error_D32",
+    "gs_deep_bw_floor_err_D32",
     "gs_deep_bw_energy_error_D64",
     "gs_deep_bw_steps_per_sec_D32",
     "gs_deep_bw_variance_D32",

@@ -14,7 +14,15 @@ This probe separates them: N seeds at the converged window
 the floor is optimization variance; if all 8 cluster at it, the wall
 class itself floors there and DESIGN.md 4d says so.
 
-Run: python scripts/tpu_deepbw_restart_probe.py [D] [steps] [n_seeds]
+Long windows are run as CHAINED 500-step segments (params warm-start
+the next call, each segment its own cosine-decay cycle): a cold
+1000-step recycled scan at D=32 is the long-scan pathology's fourth
+instance (FAILED_PRECONDITION at first readback in a fresh process —
+the same class as the 1024x300 sweep crash in docs/DESIGN.md), and
+SGDR-style segment restarts are how long optimizations run in
+production anyway.
+
+Run: python scripts/tpu_deepbw_restart_probe.py [D] [segments] [n_seeds]
 """
 import os
 import sys
@@ -33,8 +41,9 @@ from qmps_tpu.mps.tdvp import variance_certificate
 from qmps_tpu.utils.host_eval import host_energy_gauge_free
 
 D = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+segments = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 n_seeds = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+SEG_STEPS = 500
 
 H = tfim(1.0)
 h32 = np.asarray(H.to_matrix().real, np.float32)
@@ -47,8 +56,13 @@ for depth in (n + 1, n + 3):
     for seed in range(n_seeds):
         t0 = time.perf_counter()
         gs = ground_state_deep_brickwork(
-            H, D=D, depth=depth, steps=steps, key=jax.random.PRNGKey(seed)
+            H, D=D, depth=depth, steps=SEG_STEPS, key=jax.random.PRNGKey(seed)
         )
+        for _ in range(segments - 1):
+            gs = ground_state_deep_brickwork(
+                H, D=D, depth=depth, steps=SEG_STEPS,
+                initial_guess=gs.params,
+            )
         dt = time.perf_counter() - t0
         e64 = host_energy_gauge_free(gs.A, h64, f32_ref=float(gs.energy))
         var = variance_certificate(gs.A, h32,
@@ -57,14 +71,14 @@ for depth in (n + 1, n + 3):
         errs.append(err)
         print(
             f"D={D} depth={depth} params={n_brick_params(n, depth)} "
-            f"seed={seed} steps={steps}: {dt:.1f} s "
+            f"seed={seed} steps={segments}x{SEG_STEPS}: {dt:.1f} s "
             f"err_f64={e64 - e_exact:.3e} err_f32={gs.energy - e_exact:.3e} "
             f"var={var:.3e}",
             flush=True,
         )
     errs = np.array(errs)
     print(
-        f"SUMMARY D={D} depth={depth} steps={steps}: "
+        f"SUMMARY D={D} depth={depth} steps={segments}x{SEG_STEPS}: "
         f"best-of-{n_seeds}={errs.min():.3e} median={np.median(errs):.3e} "
         f"worst={errs.max():.3e}",
         flush=True,
